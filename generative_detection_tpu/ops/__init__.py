@@ -1,0 +1,12 @@
+from .norm import group_norm
+from .attention import single_head_attention
+from .focal import sigmoid_focal_loss
+from .resize import resize_bilinear, resize_nearest
+
+__all__ = [
+    "group_norm",
+    "single_head_attention",
+    "sigmoid_focal_loss",
+    "resize_bilinear",
+    "resize_nearest",
+]

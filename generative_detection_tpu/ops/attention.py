@@ -1,0 +1,116 @@
+"""Single-head spatial self-attention as a flash-style Pallas kernel.
+
+The backbone's AttnBlocks (ref ddconfig ``attn_resolutions: [16]`` +
+mid-blocks; ldm.modules.diffusionmodules.model.AttnBlock [EXTERNAL]) run
+single-head attention over flattened spatial tokens: 4096 tokens @ C=256 at
+the attn level and 256 tokens @ C=512 in the mid blocks (for 256x256 inputs
+under the shipped config). A naive XLA lowering materializes the (L, L)
+softmax matrix in HBM (4096^2 fp32 = 64 MB per image per block); the blocked
+online-softmax kernel below keeps everything in VMEM.
+
+Semantics (must match torch ``AttnBlock``):
+    w = softmax(q @ k^T * C^-0.5); out = w @ v
+with q, k, v of shape (B, L, C) and no output scaling.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .dispatch import interpret_mode as _interpret
+from .dispatch import pallas_enabled
+
+_NEG_INF = -1e30
+
+
+def _attention_reference(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    c = q.shape[-1]
+    scale = jnp.asarray(c, jnp.float32) ** -0.5
+    logits = jnp.einsum("blc,bmc->blm", q, k, preferred_element_type=jnp.float32) * scale
+    w = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("blm,bmc->blc", w.astype(v.dtype), v, preferred_element_type=jnp.float32).astype(q.dtype)
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale, kv_steps):
+    kv_idx = pl.program_id(2)
+
+    @pl.when(kv_idx == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, _NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0].astype(jnp.float32)  # (BQ, C)
+    k = k_ref[0].astype(jnp.float32)  # (BK, C)
+    v = v_ref[0].astype(jnp.float32)  # (BK, C)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (BQ, BK)
+
+    m_prev = m_scr[:]  # (BQ, 1)
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)  # (BQ, BK)
+    l_new = alpha * l_scr[:] + jnp.sum(p, axis=-1, keepdims=True)
+    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    m_scr[:] = m_new
+    l_scr[:] = l_new
+
+    @pl.when(kv_idx == kv_steps - 1)
+    def _finish():
+        o_ref[0] = (acc_scr[:] / l_scr[:]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
+def _attention_pallas(q, k, v, block_q=256, block_k=512, interpret=False):
+    b, l, c = q.shape
+    block_q = min(block_q, l)
+    block_k = min(block_k, l)
+    scale = float(c) ** -0.5
+    grid = (b, l // block_q, l // block_k)
+    kernel = functools.partial(_flash_kernel, scale=scale, kv_steps=grid[2])
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((b, l, c), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, c), lambda b_, i, j: (b_, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, c), lambda b_, i, j: (b_, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, c), lambda b_, i, j: (b_, j, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, block_q, c), lambda b_, i, j: (b_, i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, c), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q, k, v)
+
+
+def single_head_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    use_pallas: Optional[bool] = None,
+) -> jnp.ndarray:
+    """softmax(q k^T / sqrt(C)) v over (B, L, C) single-head tensors."""
+    b, l, c = q.shape
+    interpret = _interpret()
+    if use_pallas is None:
+        use_pallas = pallas_enabled()
+    if use_pallas and l % 128 == 0 and c % 128 == 0:
+        return _attention_pallas(q, k, v, interpret=interpret)
+    return _attention_reference(q, k, v)

@@ -1,0 +1,133 @@
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from generative_detection_tpu.ops import (
+    group_norm,
+    resize_bilinear,
+    resize_nearest,
+    sigmoid_focal_loss,
+    single_head_attention,
+)
+from generative_detection_tpu.ops.attention import _attention_reference
+from generative_detection_tpu.ops.norm import _gn_reference
+
+
+def _np_group_norm(x, gamma, beta, groups, eps):
+    b, h, w, c = x.shape
+    cg = c // groups
+    xg = x.reshape(b, h * w, groups, cg)
+    mean = xg.mean(axis=(1, 3), keepdims=True)
+    var = xg.var(axis=(1, 3), keepdims=True)
+    y = (xg - mean) / np.sqrt(var + eps)
+    return y.reshape(b, h, w, c) * gamma + beta
+
+
+def test_group_norm_reference_matches_numpy(rng):
+    x = rng.normal(size=(2, 8, 8, 128)).astype(np.float32)
+    gamma = rng.normal(size=(128,)).astype(np.float32) + 1.0
+    beta = rng.normal(size=(128,)).astype(np.float32)
+    got = np.asarray(group_norm(jnp.asarray(x), jnp.asarray(gamma), jnp.asarray(beta)))
+    want = _np_group_norm(x, gamma, beta, 32, 1e-6)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_group_norm_silu_fusion(rng):
+    x = rng.normal(size=(1, 4, 4, 128)).astype(np.float32)
+    gamma = np.ones((128,), np.float32)
+    beta = np.zeros((128,), np.float32)
+    got = np.asarray(
+        group_norm(jnp.asarray(x), jnp.asarray(gamma), jnp.asarray(beta), act="silu")
+    )
+    plain = _np_group_norm(x, gamma, beta, 32, 1e-6)
+    want = plain / (1.0 + np.exp(-plain))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_group_norm_pallas_interpret_matches_reference(rng, monkeypatch):
+    monkeypatch.setenv("GDT_PALLAS_INTERPRET", "1")
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 128)).astype(np.float32))
+    gamma = jnp.asarray(rng.normal(size=(128,)).astype(np.float32))
+    beta = jnp.asarray(rng.normal(size=(128,)).astype(np.float32))
+    got = np.asarray(group_norm(x, gamma, beta, act="silu", use_pallas=True))
+    want = np.asarray(_gn_reference(x, gamma, beta, 32, 1e-6, "silu"))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_attention_reference_matches_numpy_softmax(rng):
+    q = rng.normal(size=(2, 16, 32)).astype(np.float32)
+    k = rng.normal(size=(2, 16, 32)).astype(np.float32)
+    v = rng.normal(size=(2, 16, 32)).astype(np.float32)
+    got = np.asarray(single_head_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)))
+    logits = np.einsum("blc,bmc->blm", q, k) / np.sqrt(32.0)
+    w = np.exp(logits - logits.max(-1, keepdims=True))
+    w = w / w.sum(-1, keepdims=True)
+    want = np.einsum("blm,bmc->blc", w, v)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_flash_attention_interpret_matches_reference(rng, monkeypatch):
+    monkeypatch.setenv("GDT_PALLAS_INTERPRET", "1")
+    q = jnp.asarray(rng.normal(size=(1, 256, 128)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(1, 256, 128)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(1, 256, 128)).astype(np.float32))
+    got = np.asarray(single_head_attention(q, k, v, use_pallas=True))
+    want = np.asarray(_attention_reference(q, k, v))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
+def _np_mmcv_focal(logits, targets, gamma=2.0, alpha=0.25):
+    n, c = logits.shape
+    onehot = np.eye(c + 1)[targets][:, :c]
+    p = 1.0 / (1.0 + np.exp(-logits))
+    pt = (1 - p) * onehot + p * (1 - onehot)
+    fw = (alpha * onehot + (1 - alpha) * (1 - onehot)) * pt**gamma
+    bce = -(onehot * np.log(p + 1e-12) + (1 - onehot) * np.log(1 - p + 1e-12))
+    return (bce * fw).mean()
+
+
+def test_sigmoid_focal_loss_matches_mmcv_semantics(rng):
+    logits = rng.normal(size=(8, 11)).astype(np.float32) * 2
+    targets = rng.integers(0, 11, size=(8,))
+    got = float(sigmoid_focal_loss(jnp.asarray(logits), jnp.asarray(targets)))
+    want = _np_mmcv_focal(logits, targets)
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_sigmoid_focal_loss_background_column():
+    # mmcv: a label == num_classes maps to an all-zero row. With 11 classes
+    # the background label 10 stays a real one-hot column; label 11 would be
+    # all-negative.
+    logits = jnp.zeros((1, 11))
+    l10 = float(sigmoid_focal_loss(logits, jnp.asarray([10])))
+    l11 = float(sigmoid_focal_loss(logits, jnp.asarray([11])))
+    assert l10 != pytest.approx(l11)
+
+
+def test_resize_bilinear_matches_pil(rng):
+    from PIL import Image
+
+    img = (rng.uniform(0, 255, size=(64, 48, 3))).astype(np.float32)
+    pil = Image.fromarray(img.astype(np.uint8))
+    want = np.asarray(
+        pil.resize((96, 128), resample=Image.Resampling.BILINEAR), dtype=np.float32
+    )
+    got = np.asarray(resize_bilinear(jnp.asarray(img.astype(np.uint8).astype(np.float32)), 128, 96))
+    # PIL uses the same align_corners=False convention; uint8 rounding gives
+    # small differences.
+    assert np.abs(got - want).mean() < 1.0
+
+
+def test_resize_nearest_shapes(rng):
+    img = rng.normal(size=(2, 10, 12, 1)).astype(np.float32)
+    out = resize_nearest(jnp.asarray(img), 20, 24)
+    assert out.shape == (2, 20, 24, 1)
+
+
+def test_resize_bilinear_identity(rng):
+    img = rng.normal(size=(8, 8, 3)).astype(np.float32)
+    out = np.asarray(resize_bilinear(jnp.asarray(img), 8, 8))
+    np.testing.assert_allclose(out, img, atol=1e-6)
