@@ -1,0 +1,103 @@
+"""LPIPS perceptual loss (VGG16 features + learned linear heads) in flax.
+
+Rebuild of taming-transformers' LPIPS as used by the reference loss base
+(``self.perceptual_loss(inputs, recons)`` -> per-sample (B,1,1,1) map added to
+|x - x_hat|, ref contperceptual.py:141-145). Architecture:
+
+- ScalingLayer: ImageNet-stat shift/scale of [-1,1] inputs;
+- VGG16 conv features with taps after relu1_2/relu2_2/relu3_3/relu4_3/relu5_3;
+- per-tap channel-L2 normalization, squared difference, 1x1 no-bias linear
+  head, spatial mean, summed over taps.
+
+Pretrained weights: this build environment has no network egress and no
+torchvision weight cache, so by default the module uses a *deterministic
+seeded* initialization (random VGG features are a known-usable perceptual
+metric family). Exact-parity weights can be injected by converting the
+public ``vgg16`` + taming ``vgg.pth`` checkpoints with
+``tools/convert_lpips.py`` and passing ``weights_path`` (a .npz) — the
+parameter tree layout is identical.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import numpy as np
+import jax.numpy as jnp
+from flax import linen as nn
+
+# VGG16 conv plan: channels per conv, 'M' = 2x2 maxpool.
+_VGG16_PLAN = (64, 64, "M", 128, 128, "M", 256, 256, 256, "M", 512, 512, 512, "M", 512, 512, 512)
+# Tap indices counted in convs: relu1_2=conv2, relu2_2=conv4, relu3_3=conv7,
+# relu4_3=conv10, relu5_3=conv13 (1-based conv count).
+_TAP_AFTER_CONV = (2, 4, 7, 10, 13)
+_TAP_CHANNELS = (64, 128, 256, 512, 512)
+
+_SHIFT = np.array([-0.030, -0.088, -0.188], dtype=np.float32)
+_SCALE = np.array([0.458, 0.448, 0.450], dtype=np.float32)
+
+
+def _normalize_tensor(x: jnp.ndarray, eps: float = 1e-10) -> jnp.ndarray:
+    norm = jnp.sqrt(jnp.sum(jnp.square(x), axis=-1, keepdims=True))
+    return x / (norm + eps)
+
+
+class _VGG16Features(nn.Module):
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> Sequence[jnp.ndarray]:
+        taps = []
+        conv_idx = 0
+        h = x.astype(self.dtype)
+        for item in _VGG16_PLAN:
+            if item == "M":
+                h = nn.max_pool(h, (2, 2), strides=(2, 2))
+            else:
+                conv_idx += 1
+                h = nn.Conv(item, (3, 3), padding="SAME", dtype=self.dtype, name=f"conv{conv_idx}")(h)
+                h = nn.relu(h)
+                if conv_idx in _TAP_AFTER_CONV:
+                    taps.append(h)
+        return taps
+
+
+class LPIPS(nn.Module):
+    """Returns a per-sample perceptual distance map of shape (B, 1, 1, 1)."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, inputs: jnp.ndarray, recons: jnp.ndarray) -> jnp.ndarray:
+        shift = jnp.asarray(_SHIFT)
+        scale = jnp.asarray(_SCALE)
+        vgg = _VGG16Features(dtype=self.dtype, name="vgg")
+
+        def prep(x):
+            return (x - shift) / scale
+
+        taps_in = vgg(prep(inputs))
+        taps_rec = vgg(prep(recons))
+
+        total = 0.0
+        for i, (a, b) in enumerate(zip(taps_in, taps_rec)):
+            d = jnp.square(_normalize_tensor(a) - _normalize_tensor(b))
+            lin = nn.Conv(
+                1, (1, 1), use_bias=False, dtype=self.dtype, name=f"lin{i}"
+            )(d)
+            total = total + jnp.mean(lin, axis=(1, 2), keepdims=True)
+        return total.astype(jnp.float32)
+
+
+def load_lpips_weights(params: dict, weights_path: str) -> dict:
+    """Overlay converted pretrained weights (.npz from tools/convert_lpips.py)
+    onto an initialized LPIPS parameter tree."""
+    import flax
+
+    flat = dict(np.load(weights_path))
+    tree = flax.traverse_util.unflatten_dict(
+        {tuple(k.split("/")): jnp.asarray(v) for k, v in flat.items()}
+    )
+    merged = flax.core.unfreeze(params)
+    merged.update(tree)
+    return merged
