@@ -289,10 +289,17 @@ class PoseLoss(nn.Module):
 
     # -- adaptive-weight support ------------------------------------------------
 
-    def nll_g_pair(self, rgb_gt, dec_obj, class_gt, mask_2d_bbox, global_step):
-        """(nll_loss, g_loss) as a function of the reconstruction — the two
-        scalars whose conv_out-gradients define the adaptive disc weight
-        (ref :294-304). Called under jax.vjp in the train step."""
+    def rec_gan_terms(
+        self, rgb_gt, dec_obj, class_gt, mask_2d_bbox, global_step, weights=None
+    ):
+        """The reconstruction-dependent scalars as a function of ``dec_obj``:
+        ``(nll, weighted_nll, g_loss, rec_mean)``.
+
+        The train step wraps this in ``jax.vjp``: the primal values feed the
+        total generator loss (one LPIPS + one discriminator forward total),
+        while the cotangent pulls for ``nll`` and ``g_loss`` are pushed
+        through the decoder's ``conv_out`` kernel to form the adaptive
+        discriminator weight (ref contperceptual.py:294-304)."""
         mask_bg = self._mask_bg(class_gt)
         use_pixel = global_step >= (
             self.encoder_pretrain_steps + self.pose_conditioned_generation_steps
@@ -300,11 +307,17 @@ class PoseLoss(nn.Module):
         inputs_rgb = rgb_gt * mask_2d_bbox
         recons_rgb = dec_obj * mask_2d_bbox
         rec = self._get_rec_loss(inputs_rgb, recons_rgb, use_pixel)
-        nll, _ = self._get_nll_loss(rec, mask_bg)
+        nll, w_nll = self._get_nll_loss(rec, mask_bg, weights)
         logits_fake = self.discriminator(recons_rgb, train=True)
         logits_fake = logits_fake * mask_bg.reshape(-1, 1, 1, 1)
         g_loss = -jnp.mean(logits_fake)
-        return nll, g_loss
+        return nll, w_nll, g_loss, jnp.mean(rec)
+
+    def nll_g_pair(self, rgb_gt, dec_obj, class_gt, mask_2d_bbox, global_step):
+        nll, _, g, _ = self.rec_gan_terms(
+            rgb_gt, dec_obj, class_gt, mask_2d_bbox, global_step
+        )
+        return nll, g
 
     # -- main entry points --------------------------------------------------------
 
@@ -326,15 +339,13 @@ class PoseLoss(nn.Module):
         d_weight=0.0,
         split="train",
         weights=None,
+        rec_terms=None,
     ):
-        """optimizer_idx == 0 path (ref :281-350). All inputs NHWC."""
-        mask_bg = self._mask_bg(class_gt)
-        use_pixel = global_step >= (
-            self.encoder_pretrain_steps + self.pose_conditioned_generation_steps
-        )
+        """optimizer_idx == 0 path (ref :281-350). All inputs NHWC.
 
-        inputs_rgb = rgb_gt * mask_2d_bbox
-        recons_rgb = dec_obj * mask_2d_bbox
+        ``rec_terms``: optional precomputed ``rec_gan_terms`` tuple (from the
+        train step's vjp) so LPIPS/discriminator run once per step."""
+        mask_bg = self._mask_bg(class_gt)
 
         pose_rec = dec_pose[:, :POSE_6D_DIM]
         lhw_rec = dec_pose[:, POSE_6D_DIM : POSE_6D_DIM + LHW_DIM]
@@ -352,14 +363,13 @@ class PoseLoss(nn.Module):
         mask_loss = jnp.asarray(0.0)
         w_mask = jnp.asarray(0.0)
 
-        rec_loss = self._get_rec_loss(inputs_rgb, recons_rgb, use_pixel)
-        nll_loss, w_nll = self._get_nll_loss(rec_loss, mask_bg, weights)
+        if rec_terms is None:
+            rec_terms = self.rec_gan_terms(
+                rgb_gt, dec_obj, class_gt, mask_2d_bbox, global_step, weights
+            )
+        nll_loss, w_nll, g_loss, rec_mean = rec_terms
         kl_obj = self._get_kl_loss(posterior_obj, mask_bg)
         kl_bbox = self.compute_pose_kl_loss(bbox_posterior, mask_bg, class_orig_id)
-
-        logits_fake = self.discriminator(recons_rgb, train=True)
-        logits_fake = logits_fake * mask_bg.reshape(-1, 1, 1, 1)
-        g_loss = -jnp.mean(logits_fake)
 
         disc_factor = adopt_weight(self.disc_factor, global_step, self.disc_start)
         d_weight = jnp.asarray(d_weight, jnp.float32)
@@ -387,7 +397,7 @@ class PoseLoss(nn.Module):
             f"{split}/kl_loss_obj": kl_obj,
             f"{split}/nll_loss": nll_loss,
             f"{split}/weighted_nll_loss": w_nll,
-            f"{split}/rec_loss": jnp.mean(rec_loss),
+            f"{split}/rec_loss": rec_mean,
             f"{split}/d_weight": d_weight,
             f"{split}/disc_factor": disc_factor,
             f"{split}/g_loss": g_loss,

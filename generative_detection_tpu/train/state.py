@@ -1,0 +1,76 @@
+"""Train state & optimizer construction.
+
+Replaces the Lightning/optimizer plumbing of the reference
+(``configure_optimizers``, src/models/autoencoder.py:365-377): two
+Adam(b1=0.5, b2=0.9) optimizers — one over every autoencoder/pose parameter,
+one over the discriminator — with Lightning-style global-norm gradient
+clipping (configs/...yaml:140) and optional gradient accumulation
+(train.py:376-381) via ``optax.MultiSteps``.
+
+Faithful detail: the reference's AE optimizer covers encoder, decoder, the
+three 1x1 quant convs and both pose MLPs — i.e. *all* net params — and does
+NOT include the loss's learned ``logvar`` (it stays at its init forever);
+LPIPS weights are frozen. The discriminator optimizer covers exactly
+``loss.discriminator``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+
+@struct.dataclass
+class TrainState:
+    step: jnp.ndarray  # batch counter (int32)
+    net_params: Any
+    loss_params: Any  # {'perceptual': frozen, 'discriminator': trained, 'logvar': frozen}
+    opt_ae_state: Any
+    opt_disc_state: Any
+    rng: jax.Array
+
+
+def make_optimizers(
+    learning_rate: float,
+    grad_clip: Optional[float] = 1.0,
+    accumulate_grad_batches: int = 1,
+    b1: float = 0.5,
+    b2: float = 0.9,
+    eps: float = 1e-8,
+) -> Tuple[optax.GradientTransformation, optax.GradientTransformation]:
+    def build():
+        chain = []
+        if grad_clip is not None and grad_clip > 0:
+            chain.append(optax.clip_by_global_norm(grad_clip))
+        chain.append(optax.adam(learning_rate, b1=b1, b2=b2, eps=eps))
+        tx = optax.chain(*chain)
+        if accumulate_grad_batches > 1:
+            tx = optax.MultiSteps(tx, every_k_schedule=accumulate_grad_batches)
+        return tx
+
+    return build(), build()
+
+
+def create_train_state(
+    model,
+    rng: jax.Array,
+    batch_size: int,
+    opt_ae: optax.GradientTransformation,
+    opt_disc: optax.GradientTransformation,
+) -> TrainState:
+    init_rng, state_rng = jax.random.split(rng)
+    net_params, loss_params = model.init_variables(init_rng, batch_size=batch_size)
+    opt_ae_state = opt_ae.init(net_params)
+    opt_disc_state = opt_disc.init(loss_params["discriminator"])
+    return TrainState(
+        step=jnp.asarray(0, jnp.int32),
+        net_params=net_params,
+        loss_params=loss_params,
+        opt_ae_state=opt_ae_state,
+        opt_disc_state=opt_disc_state,
+        rng=state_rng,
+    )

@@ -1,0 +1,149 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from generative_detection_tpu.train import (
+    create_train_state,
+    make_eval_step,
+    make_optimizers,
+    make_train_step,
+)
+from tests.test_models import small_model
+
+
+def _batch(m, rng, bs=2):
+    x = rng.normal(size=(bs, 32, 32, 3)).astype(np.float32)
+    b = m.example_batch(bs)
+    b[m.image_rgb_key] = x
+    cls = np.resize(np.asarray([0, 10], np.int32), bs)
+    b["class_id"] = cls
+    b["original_class_id"] = cls
+    return m.prepare_batch(b)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    m = small_model()
+    m.learning_rate = 1e-4
+    opt_ae, opt_disc = make_optimizers(m.learning_rate, grad_clip=1.0)
+    state = create_train_state(m, jax.random.PRNGKey(0), 2, opt_ae, opt_disc)
+    step_fn = jax.jit(make_train_step(m, opt_ae, opt_disc, step_counting="batch"))
+    return m, state, step_fn
+
+
+def test_train_step_runs_and_updates(setup, rng):
+    m, state, step_fn = setup
+    batch = _batch(m, rng)
+    new_state, metrics = step_fn(state, batch)
+    assert int(new_state.step) == 1
+    assert np.isfinite(float(metrics["aeloss"]))
+    assert np.isfinite(float(metrics["discloss"]))
+    # net params changed overall (decoder may be static during pretrain)
+    diff = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), state.net_params, new_state.net_params
+    )
+    assert max(jax.tree.leaves(diff)) > 0.0
+    # pose decoder trains from step 0
+    pd_diff = jax.tree.leaves(diff["pose_decoder"] if "pose_decoder" in diff else diff)
+    assert max(pd_diff) > 0.0
+
+
+def test_disc_optimizer_updates_only_discriminator(setup, rng):
+    m, state, step_fn = setup
+    batch = _batch(m, rng)
+    # step far past disc_start(10) so disc loss is active
+    state = state.replace(step=jnp.asarray(100, jnp.int32))
+    new_state, _ = step_fn(state, batch)
+    # perceptual (LPIPS) and logvar must stay frozen
+    p0 = jax.tree.leaves(state.loss_params["perceptual"])[0]
+    p1 = jax.tree.leaves(new_state.loss_params["perceptual"])[0]
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    np.testing.assert_array_equal(
+        np.asarray(state.loss_params["logvar"]),
+        np.asarray(new_state.loss_params["logvar"]),
+    )
+    # discriminator params changed
+    d0 = np.asarray(jax.tree.leaves(state.loss_params["discriminator"])[0])
+    d1 = np.asarray(jax.tree.leaves(new_state.loss_params["discriminator"])[0])
+    assert not np.allclose(d0, d1)
+
+
+def test_d_weight_zero_before_pretrain_end(setup, rng):
+    m, state, step_fn = setup
+    batch = _batch(m, rng)
+    _, metrics = step_fn(state, batch)  # step 0 < pretrain 10
+    assert float(metrics["train/d_weight"]) == 0.0
+
+
+def test_d_weight_active_after_pretrain(setup, rng):
+    m, state, step_fn = setup
+    batch = _batch(m, rng)
+    state = state.replace(step=jnp.asarray(50, jnp.int32))
+    _, metrics = step_fn(state, batch)
+    assert float(metrics["train/d_weight"]) > 0.0
+    assert np.isfinite(float(metrics["train/d_weight"]))
+
+
+def test_multiple_steps_stable(setup, rng):
+    m, state, step_fn = setup
+    for i in range(3):
+        batch = _batch(m, rng)
+        state, metrics = step_fn(state, batch)
+        assert np.isfinite(float(metrics["aeloss"])), i
+    assert int(state.step) == 3
+
+
+def test_eval_step(setup, rng):
+    m, state, _ = setup
+    batch = _batch(m, rng)
+    eval_fn = jax.jit(make_eval_step(m, step_counting="batch"))
+    metrics = eval_fn(state, batch, jax.random.PRNGKey(7))
+    assert "val/rec_loss" in metrics
+    assert "val/disc_loss" in metrics
+    assert float(metrics["val/d_weight"]) == 0.0
+
+
+def test_separate_disc_forward_mode(rng):
+    m = small_model()
+    m.learning_rate = 1e-4
+    opt_ae, opt_disc = make_optimizers(m.learning_rate)
+    state = create_train_state(m, jax.random.PRNGKey(0), 2, opt_ae, opt_disc)
+    step_fn = jax.jit(
+        make_train_step(m, opt_ae, opt_disc, disc_forward="separate", step_counting="batch")
+    )
+    batch = _batch(m, rng)
+    new_state, metrics = step_fn(state, batch)
+    assert np.isfinite(float(metrics["discloss"]))
+
+
+def test_optimizer_step_counting(rng):
+    # With PL-1.9-faithful counting the curriculum sees 2*batch_idx: at batch
+    # 6 (global step 12 > pretrain 10) d_weight becomes active.
+    m = small_model()
+    m.learning_rate = 1e-4
+    opt_ae, opt_disc = make_optimizers(m.learning_rate)
+    state = create_train_state(m, jax.random.PRNGKey(0), 2, opt_ae, opt_disc)
+    step_fn = jax.jit(make_train_step(m, opt_ae, opt_disc, step_counting="optimizer"))
+    batch = _batch(m, rng)
+    state6 = state.replace(step=jnp.asarray(6, jnp.int32))
+    _, metrics = step_fn(state6, batch)
+    assert float(metrics["train/d_weight"]) > 0.0
+    state4 = state.replace(step=jnp.asarray(4, jnp.int32))
+    _, metrics4 = step_fn(state4, batch)
+    assert float(metrics4["train/d_weight"]) == 0.0
+
+
+def test_train_step_sharded_over_mesh(setup, rng):
+    from generative_detection_tpu.parallel import create_mesh, shard_batch
+
+    m, state, _ = setup
+    mesh = create_mesh()
+    assert mesh.shape["data"] == 8
+    opt_ae, opt_disc = make_optimizers(1e-4)
+    step_fn = jax.jit(make_train_step(m, opt_ae, opt_disc, step_counting="batch"))
+    batch = _batch(m, rng, bs=8)
+    sharded = shard_batch(batch, mesh)
+    new_state, metrics = step_fn(state, sharded)
+    assert np.isfinite(float(metrics["aeloss"]))
+    assert np.isfinite(float(metrics["discloss"]))
