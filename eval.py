@@ -117,10 +117,17 @@ def main():
         patch_size = jnp.asarray(batch["patch_size"], jnp.float32).reshape(b, -1)[:, 0]
         center = jnp.asarray(batch["patch_center_2d"], jnp.float32).reshape(b, 2)
         resampling = jnp.asarray(batch["resampling_factor"], jnp.float32).reshape(b)
+        if "cam2img" in batch:  # real camera intrinsics from the info pkl
+            K = jnp.asarray(batch["cam2img"], jnp.float32).reshape(b, 3, 3)
+            focal = K[:, 0, 0]
+            pp = K[:, :2, 2]
+        else:  # synthetic dataset's fixed camera
+            focal = jnp.full((b,), 1266.0)
+            pp = jnp.broadcast_to(jnp.asarray([800.0, 450.0]), (b, 2))
         rec = recover_boxes(
             dec_pose,
-            focal_length=jnp.full((b,), 1266.0),
-            principal_point=jnp.broadcast_to(jnp.asarray([800.0, 450.0]), (b, 2)),
+            focal_length=focal,
+            principal_point=pp,
             patch_size=patch_size,
             patch_center=center,
             resampling_factor=resampling,

@@ -334,6 +334,7 @@ class NuScenesBase:
             "patch_center_2d": np.asarray(center_2d, np.float32),
             "resampling_factor": np.float32(resampling),
             "bbox_3d_gt": np.asarray(instance["bbox_3d"], np.float32),
+            "cam2img": np.asarray(img_info["cam2img"], np.float32).reshape(3, 3),
         }
 
     def _background_item(self, sample, cam_name, instances) -> Optional[Dict]:
@@ -383,6 +384,7 @@ class NuScenesBase:
             "patch_center_2d": np.asarray([out_h // 2, out_w // 2], np.float32),
             "resampling_factor": np.float32(out_w / orig_size[0]),
             "bbox_3d_gt": np.zeros(BBOX_3D_DIM, np.float32),
+            "cam2img": np.asarray(img_info["cam2img"], np.float32).reshape(3, 3),
         }
 
     def __getitem__(self, idx: int) -> Dict:

@@ -100,6 +100,39 @@ def _attention_pallas(q, k, v, block_q=256, block_k=512, interpret=False):
     )(q, k, v)
 
 
+def _attention_flash_lib(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """jax's production TPU flash-attention kernel (fwd + custom-VJP bwd),
+    wrapped for the single-head (B, L, C) case. This is the training path:
+    no (L, L) logits ever hit HBM in either direction."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        flash_attention,
+    )
+
+    b, l, c = q.shape
+    bq = min(512, l)
+    bk = min(512, l)
+    sizes = BlockSizes(
+        block_q=bq,
+        block_k_major=bk,
+        block_k=bk,
+        block_b=1,
+        block_q_major_dkv=bq,
+        block_k_major_dkv=bk,
+        block_k_dkv=bk,
+        block_q_dkv=bq,
+        block_k_major_dq=bk,
+        block_k_dq=bk,
+        block_q_dq=bq,
+    )
+    out = flash_attention(
+        q[:, None], k[:, None], v[:, None],
+        sm_scale=float(c) ** -0.5,
+        block_sizes=sizes,
+    )
+    return out[:, 0]
+
+
 def single_head_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -112,5 +145,7 @@ def single_head_attention(
     if use_pallas is None:
         use_pallas = pallas_enabled()
     if use_pallas and l % 128 == 0 and c % 128 == 0:
-        return _attention_pallas(q, k, v, interpret=interpret)
+        if interpret:  # unit tests exercise the local kernel on CPU
+            return _attention_pallas(q, k, v, interpret=True)
+        return _attention_flash_lib(q, k, v)
     return _attention_reference(q, k, v)

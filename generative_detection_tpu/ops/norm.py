@@ -110,6 +110,60 @@ def _gn_pallas(x, gamma, beta, num_groups, eps, act, interpret=False):
     return out.reshape(b, h, w, c)
 
 
+def _gn_stats(x32, num_groups):
+    b, h, w, c = x32.shape
+    cg = c // num_groups
+    xg = x32.reshape(b, h * w, num_groups, cg)
+    mean = jnp.mean(xg, axis=(1, 3))  # (B, G)
+    var = jnp.mean(jnp.square(xg), axis=(1, 3)) - jnp.square(mean)
+    return mean, var
+
+
+@functools.lru_cache(maxsize=None)
+def _make_gn_custom_vjp(num_groups: int, eps: float, act: Optional[str], interpret: bool):
+    """Pallas forward + closed-form XLA backward (a Pallas call is not
+    differentiable by itself; the backward is bandwidth-bound elementwise
+    math that XLA fuses into two passes)."""
+
+    @jax.custom_vjp
+    def fn(x, gamma, beta):
+        return _gn_pallas(x, gamma, beta, num_groups, eps, act, interpret=interpret)
+
+    def fwd(x, gamma, beta):
+        return fn(x, gamma, beta), (x, gamma, beta)
+
+    def bwd(res, dy):
+        x, gamma, beta = res
+        b, h, w, c = x.shape
+        cg = c // num_groups
+        x32 = x.astype(jnp.float32)
+        dy32 = dy.astype(jnp.float32)
+        mean, var = _gn_stats(x32, num_groups)
+        rstd = jax.lax.rsqrt(var + eps)  # (B, G)
+        mean_c = jnp.repeat(mean, cg, axis=-1).reshape(b, 1, 1, c)
+        rstd_c = jnp.repeat(rstd, cg, axis=-1).reshape(b, 1, 1, c)
+        xhat = (x32 - mean_c) * rstd_c
+        if act == "silu":
+            z = xhat * gamma.astype(jnp.float32) + beta.astype(jnp.float32)
+            sig = jax.nn.sigmoid(z)
+            dz = dy32 * sig * (1.0 + z * (1.0 - sig))
+        else:
+            dz = dy32
+        dgamma = jnp.sum(dz * xhat, axis=(0, 1, 2)).astype(gamma.dtype)
+        dbeta = jnp.sum(dz, axis=(0, 1, 2)).astype(beta.dtype)
+        dxhat = dz * gamma.astype(jnp.float32)
+        # per-(batch, group) means over the normalization set
+        dxg = dxhat.reshape(b, h * w, num_groups, cg)
+        xg = xhat.reshape(b, h * w, num_groups, cg)
+        m1 = jnp.mean(dxg, axis=(1, 3), keepdims=True)
+        m2 = jnp.mean(dxg * xg, axis=(1, 3), keepdims=True)
+        dx = ((dxg - m1 - xg * m2).reshape(b, h, w, c) * rstd_c).astype(x.dtype)
+        return dx, dgamma, dbeta
+
+    fn.defvjp(fwd, bwd)
+    return fn
+
+
 def group_norm(
     x: jnp.ndarray,
     gamma: jnp.ndarray,
@@ -129,5 +183,5 @@ def group_norm(
     # In-VMEM bytes for one batch row (input + output in fp32 working set).
     slab_bytes = h * w * c * 4 * 2
     if use_pallas and slab_bytes <= _VMEM_BUDGET_BYTES and (h * w) % 8 == 0 and c % 128 == 0:
-        return _gn_pallas(x, gamma, beta, num_groups, eps, act, interpret=interpret)
+        return _make_gn_custom_vjp(num_groups, eps, act, interpret)(x, gamma, beta)
     return _gn_reference(x, gamma, beta, num_groups, eps, act)

@@ -1,0 +1,65 @@
+"""Multi-host (multi-slice / DCN) support.
+
+The reference scales across processes with SLURM srun + Lightning DDP
+(ref README.md:58, train.py:162). The TPU-native analogue: one JAX process
+per host, ``jax.distributed.initialize`` for cross-host coordination, the
+same ``Mesh`` spanning all global devices, batch sharded over the data axis
+by *process* (each host feeds its local shard via
+``jax.make_array_from_process_local_data``). Gradient psum rides ICI within a
+slice and DCN across slices — laid out automatically by XLA because the mesh
+axis is ordered over global devices.
+
+Single-host runs are unaffected (initialize() is a no-op there).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Initialize the JAX distributed runtime (env-driven when args omitted:
+    honors TPU metadata / MEGASCALE / JAX_COORDINATOR_ADDRESS)."""
+    if jax.process_count() > 1:
+        return  # already initialized
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+        logging.info(
+            "jax.distributed: process %d/%d, %d local / %d global devices",
+            jax.process_index(),
+            jax.process_count(),
+            jax.local_device_count(),
+            jax.device_count(),
+        )
+    except Exception as e:  # single-host / no coordinator
+        logging.debug("jax.distributed.initialize skipped: %s", e)
+
+
+def is_main_process() -> bool:
+    """host-0 I/O gating (replaces Lightning rank_zero_only,
+    ref callbacks.py:10,128,140)."""
+    return jax.process_index() == 0
+
+
+def global_batch_from_local(
+    local_batch: Dict[str, np.ndarray], mesh: Mesh, axis: str = "data"
+):
+    """Assemble a globally-sharded batch from each process's local shard."""
+    sharding = NamedSharding(mesh, P(axis))
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+        local_batch,
+    )

@@ -57,6 +57,26 @@ def test_group_norm_pallas_interpret_matches_reference(rng, monkeypatch):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+def test_group_norm_custom_vjp_grads_match_reference(rng, monkeypatch):
+    # pallas fwd (interpret) + closed-form bwd must match XLA autodiff grads
+    monkeypatch.setenv("GDT_PALLAS_INTERPRET", "1")
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 128)).astype(np.float32))
+    gamma = jnp.asarray(rng.normal(size=(128,)).astype(np.float32) + 1.0)
+    beta = jnp.asarray(rng.normal(size=(128,)).astype(np.float32))
+    co = jnp.asarray(rng.normal(size=(2, 8, 8, 128)).astype(np.float32))
+
+    def loss_pallas(x_, g_, b_):
+        return jnp.sum(group_norm(x_, g_, b_, act="silu", use_pallas=True) * co)
+
+    def loss_ref(x_, g_, b_):
+        return jnp.sum(_gn_reference(x_, g_, b_, 32, 1e-6, "silu") * co)
+
+    got = jax.grad(loss_pallas, argnums=(0, 1, 2))(x, gamma, beta)
+    want = jax.grad(loss_ref, argnums=(0, 1, 2))(x, gamma, beta)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=2e-3, atol=2e-4)
+
+
 def test_attention_reference_matches_numpy_softmax(rng):
     q = rng.normal(size=(2, 16, 32)).astype(np.float32)
     k = rng.normal(size=(2, 16, 32)).astype(np.float32)
