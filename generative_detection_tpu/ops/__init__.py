@@ -1,12 +1,13 @@
 from .norm import group_norm
 from .attention import single_head_attention
 from .focal import sigmoid_focal_loss
-from .resize import resize_bilinear, resize_nearest
+from .resize import batched_crop_resize, resize_bilinear, resize_nearest
 
 __all__ = [
     "group_norm",
     "single_head_attention",
     "sigmoid_focal_loss",
+    "batched_crop_resize",
     "resize_bilinear",
     "resize_nearest",
 ]

@@ -46,6 +46,59 @@ def resize_bilinear(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     return out.astype(dtype)
 
 
+@functools.partial(jax.jit, static_argnames=("out_size",))
+def batched_crop_resize(
+    frames: jnp.ndarray,  # (B, H, W, C) full camera frames (uint8 or float)
+    centers: jnp.ndarray,  # (B, 2) crop centers (x, y) in pixels
+    sizes: jnp.ndarray,  # (B,) square crop sizes in pixels (dynamic per sample)
+    out_size: int = 256,
+) -> jnp.ndarray:
+    """Batched square crop + bilinear resize with *per-sample dynamic* crop
+    sizes and static output shapes — the jit preprocessing stage feeding the
+    encoder (device-side analogue of ref nuscenes.py:90-194's PIL path).
+
+    Out-of-frame source pixels read as 0 (PIL crop semantics). Sampling is
+    point-sampled bilinear (align_corners=False); the host/PIL path uses a
+    triangle filter on downscale, so values differ slightly on strong
+    downscales — both are supported pipelines.
+    Returns (B, out_size, out_size, C) float32 in [0, 1] for uint8 inputs.
+    """
+    h, w = frames.shape[1], frames.shape[2]
+    scale = 1.0 / 255.0 if frames.dtype == jnp.uint8 else 1.0
+    frames_f = frames.astype(jnp.float32) * scale
+
+    def one(frame, center, size):
+        x0 = center[0] - size / 2.0
+        y0 = center[1] - size / 2.0
+        idx = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * (size / out_size) - 0.5
+        sx = x0 + idx  # (out,)
+        sy = y0 + idx
+        x_lo = jnp.floor(sx).astype(jnp.int32)
+        y_lo = jnp.floor(sy).astype(jnp.int32)
+        fx = sx - x_lo
+        fy = sy - y_lo
+
+        # gather the 4 neighbors with explicit OOB masking
+        def gather(yi, xi):
+            vy = (yi >= 0) & (yi < h)
+            vx = (xi >= 0) & (xi < w)
+            yc = jnp.clip(yi, 0, h - 1)
+            xc = jnp.clip(xi, 0, w - 1)
+            vals = frame[yc[:, None], xc[None, :], :]
+            mask = (vy[:, None] & vx[None, :]).astype(jnp.float32)[..., None]
+            return vals * mask
+
+        tl = gather(y_lo, x_lo)
+        tr = gather(y_lo, x_lo + 1)
+        bl = gather(y_lo + 1, x_lo)
+        br = gather(y_lo + 1, x_lo + 1)
+        top = tl + (tr - tl) * fx[None, :, None]
+        bot = bl + (br - bl) * fx[None, :, None]
+        return top + (bot - top) * fy[:, None, None]
+
+    return jax.vmap(one)(frames_f, centers.astype(jnp.float32), sizes.astype(jnp.float32))
+
+
 @functools.partial(jax.jit, static_argnames=("out_h", "out_w"))
 def resize_nearest(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     """Nearest-neighbor resize of (..., H, W, C) images (PIL NEAREST)."""

@@ -1,5 +1,5 @@
 from .state import TrainState, create_train_state, make_optimizers
-from .steps import make_train_step, make_eval_step
+from .steps import make_train_step, make_eval_step, make_plain_train_step
 
 __all__ = [
     "TrainState",
@@ -7,4 +7,5 @@ __all__ = [
     "make_optimizers",
     "make_train_step",
     "make_eval_step",
+    "make_plain_train_step",
 ]

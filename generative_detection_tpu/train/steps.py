@@ -218,6 +218,101 @@ def make_train_step(
     return train_step
 
 
+def make_plain_train_step(
+    model,
+    opt_ae,
+    opt_disc,
+    step_counting: str = "optimizer",
+) -> Callable:
+    """Fused train step for the plain ``Autoencoder`` family (ldm
+    AutoencoderKL semantics: NLL+LPIPS + KL + PatchGAN; ref
+    src/models/autoencoder.py:29-32 subclasses it unchanged). Batch contract:
+    ``{'image': (B, H, W, C) in [-1, 1]}``."""
+    net, loss = model.net, model.loss
+    disc_weight_cfg = loss.disc_weight
+    disc_factor_cfg = loss.disc_factor
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        step = state.step
+        step_g, step_d = _global_steps(step, step_counting)
+        rngs = {"sample": jax.random.fold_in(jax.random.fold_in(state.rng, step), 0)}
+        x = batch["image"]
+        loss_params = state.loss_params
+
+        def gen_loss_fn(net_params):
+            outs = net.apply({"params": net_params}, x, rngs=rngs)
+            y = outs["dec_obj"]
+
+            def pair(yy):
+                return loss.apply(
+                    {"params": loss_params}, x, yy, step_g, method=loss.nll_g_pair
+                )
+
+            (nll, g), vjp = jax.vjp(pair, y)
+            gy_nll = vjp((jnp.ones(()), jnp.zeros(())))[0]
+            gy_g = vjp((jnp.zeros(()), jnp.ones(())))[0]
+            g_nll_w, g_g_w = _conv_out_kernel_grads(
+                net_params, outs["pre_out"], (gy_nll, gy_g)
+            )
+            d_weight = _adaptive_d_weight(g_nll_w, g_g_w, disc_weight_cfg)
+            active = jnp.logical_and(disc_factor_cfg > 0.0, step_g >= loss.disc_start)
+            d_weight = jax.lax.stop_gradient(jnp.where(active, d_weight, 0.0))
+            total, log = loss.apply(
+                {"params": loss_params},
+                x,
+                y,
+                outs["posterior_obj"],
+                0,
+                step_g,
+                d_weight=d_weight,
+            )
+            return total, (log, outs)
+
+        (aeloss, (log_ae, outs)), grads_ae = jax.value_and_grad(
+            gen_loss_fn, has_aux=True
+        )(state.net_params)
+        updates_ae, opt_ae_state = opt_ae.update(
+            grads_ae, state.opt_ae_state, state.net_params
+        )
+        net_params = optax.apply_updates(state.net_params, updates_ae)
+
+        y_d = jax.lax.stop_gradient(outs["dec_obj"])
+
+        def disc_loss_fn(disc_params):
+            lp = dict(loss_params)
+            lp["discriminator"] = disc_params
+            return loss.apply({"params": lp}, x, y_d, outs["posterior_obj"], 1, step_d)
+
+        (discloss, log_disc), grads_d = jax.value_and_grad(disc_loss_fn, has_aux=True)(
+            loss_params["discriminator"]
+        )
+        updates_d, opt_disc_state = opt_disc.update(
+            grads_d, state.opt_disc_state, loss_params["discriminator"]
+        )
+        new_loss_params = dict(loss_params)
+        new_loss_params["discriminator"] = optax.apply_updates(
+            loss_params["discriminator"], updates_d
+        )
+
+        metrics = dict(log_ae)
+        metrics.update(log_disc)
+        metrics["aeloss"] = aeloss
+        metrics["discloss"] = discloss
+        return (
+            TrainState(
+                step=step + 1,
+                net_params=net_params,
+                loss_params=new_loss_params,
+                opt_ae_state=opt_ae_state,
+                opt_disc_state=opt_disc_state,
+                rng=state.rng,
+            ),
+            metrics,
+        )
+
+    return train_step
+
+
 def make_eval_step(
     model,
     phase: str = "auto",

@@ -151,3 +151,21 @@ def test_resize_bilinear_identity(rng):
     img = rng.normal(size=(8, 8, 3)).astype(np.float32)
     out = np.asarray(resize_bilinear(jnp.asarray(img), 8, 8))
     np.testing.assert_allclose(out, img, atol=1e-6)
+
+
+def test_batched_crop_resize_device_pipeline(rng):
+    from generative_detection_tpu.ops import batched_crop_resize
+
+    frames = rng.integers(0, 255, size=(2, 64, 96, 3)).astype(np.uint8)
+    centers = np.asarray([[48.0, 32.0], [10.0, 10.0]], np.float32)
+    sizes = np.asarray([32.0, 40.0], np.float32)
+    out = np.asarray(
+        batched_crop_resize(jnp.asarray(frames), jnp.asarray(centers), jnp.asarray(sizes), 32)
+    )
+    assert out.shape == (2, 32, 32, 3)
+    # identity case: crop size == out size, fully inside -> exact pixels
+    want = frames[0, 16:48, 32:64].astype(np.float32) / 255.0
+    np.testing.assert_allclose(out[0], want, atol=1e-5)
+    # second crop extends out of frame -> zero-padded top-left
+    assert out[1, 0, 0].max() == 0.0
+    assert np.isfinite(out).all()
