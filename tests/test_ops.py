@@ -89,6 +89,21 @@ def test_attention_reference_matches_numpy_softmax(rng):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+def test_chunked_attention_matches_reference(rng):
+    from generative_detection_tpu.ops.attention import _attention_chunked
+
+    q = jnp.asarray(rng.normal(size=(1, 2048, 32)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(1, 2048, 32)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(1, 2048, 32)).astype(np.float32))
+    got = np.asarray(_attention_chunked(q, k, v))
+    want = np.asarray(_attention_reference(q, k, v))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+    # gradients flow through the rematerialized chunks
+    g = jax.grad(lambda a: jnp.sum(_attention_chunked(a, k, v) ** 2))(q)
+    gr = jax.grad(lambda a: jnp.sum(_attention_reference(a, k, v) ** 2))(q)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gr), rtol=1e-3, atol=1e-4)
+
+
 def test_flash_attention_interpret_matches_reference(rng, monkeypatch):
     monkeypatch.setenv("GDT_PALLAS_INTERPRET", "1")
     q = jnp.asarray(rng.normal(size=(1, 256, 128)).astype(np.float32))
