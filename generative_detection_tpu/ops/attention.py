@@ -172,6 +172,13 @@ def single_head_attention(
         if interpret:  # unit tests exercise the local kernel on CPU
             return _attention_pallas(q, k, v, interpret=True)
         return _attention_flash_lib(q, k, v)
-    if l >= 2048 and l % 512 == 0:
+    # Chunked+remat XLA fallback: measured slower than materialized logits up
+    # to bs~32 (docs/BENCH.md), so it only engages when the logits would be
+    # genuinely large, or when forced via GDT_ATTN_CHUNKED=1.
+    import os as _os
+
+    force_chunked = _os.environ.get("GDT_ATTN_CHUNKED", "0") == "1"
+    logits_bytes = b * l * l * 2
+    if l >= 2048 and l % 512 == 0 and (force_chunked or logits_bytes > 1_500_000_000):
         return _attention_chunked(q, k, v)
     return _attention_reference(q, k, v)

@@ -134,6 +134,37 @@ def test_optimizer_step_counting(rng):
     assert float(metrics4["train/d_weight"]) == 0.0
 
 
+def test_lean_pretrain_step(rng):
+    # static 'pretrain' phase with lean_pretrain skips LPIPS/disc compute but
+    # must train the pose head identically (total = pose-only terms there)
+    m = small_model()
+    m.learning_rate = 1e-4
+    opt_ae, opt_disc = make_optimizers(m.learning_rate)
+    state = create_train_state(m, jax.random.PRNGKey(0), 2, opt_ae, opt_disc)
+    batch = _batch(m, rng)
+    lean_fn = jax.jit(
+        make_train_step(m, opt_ae, opt_disc, phase="pretrain", step_counting="batch")
+    )
+    full_fn = jax.jit(
+        make_train_step(
+            m, opt_ae, opt_disc, phase="pretrain", step_counting="batch",
+            lean_pretrain=False,
+        )
+    )
+    s_lean, m_lean = lean_fn(state, batch)
+    s_full, m_full = full_fn(state, batch)
+    # identical generator totals and updated pose-decoder params
+    np.testing.assert_allclose(
+        float(m_lean["aeloss"]), float(m_full["aeloss"]), rtol=1e-5
+    )
+    a = jax.tree.leaves(s_lean.net_params["pose_decoder"])[0]
+    b = jax.tree.leaves(s_full.net_params["pose_decoder"])[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7)
+    # lean logs read zero for the skipped terms
+    assert float(m_lean["train/disc_loss"]) == 0.0
+    assert float(m_lean["train/rec_loss"]) == 0.0
+
+
 def test_train_step_sharded_over_mesh(setup, rng):
     from generative_detection_tpu.parallel import create_mesh, shard_batch
 
