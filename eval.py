@@ -80,14 +80,16 @@ def main():
     hmax_t = jnp.asarray([hmax_d.get(n, 4.0) for n in LABEL_NAMES], jnp.float32)
 
     @jax.jit
-    def infer(rgb, step):
+    def infer(net_params, rgb, step):
+        # params as an argument (NOT a closure constant: closed-over weights
+        # get baked into the HLO and blow up compile payloads)
         rngs = {
             "sample": jax.random.PRNGKey(0),
             "dropout": jax.random.PRNGKey(1),
             "noise": jax.random.PRNGKey(2),
         }
         outs = model.net.apply(
-            {"params": state.net_params}, rgb, step, phase="full", rngs=rngs
+            {"params": net_params}, rgb, step, phase="full", rngs=rngs
         )
         return outs["dec_obj"], outs["dec_pose"], outs["posterior_obj"].kl()
 
@@ -109,7 +111,7 @@ def main():
         if rgb.shape[1] == 3 and rgb.shape[-1] != 3:
             rgb = jnp.transpose(rgb, (0, 2, 3, 1))
         rgb = rescale_minmax(rgb)
-        dec_obj, dec_pose, kl = infer(rgb, step)
+        dec_obj, dec_pose, kl = infer(state.net_params, rgb, step)
         agg["psnr"].append(psnr(np.asarray(rgb), np.asarray(dec_obj)))
         agg["kl"].append(float(np.mean(np.asarray(kl))))
 

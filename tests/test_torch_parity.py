@@ -266,6 +266,95 @@ def test_decoder_parity(rng):
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-4)
 
 
+def test_full_model_mode_path_parity(rng):
+    """Assemble the full torch PoseAutoencoder compute path (encode ->
+    quant convs -> mode -> pose decode(mode) -> pose re-encode -> decode),
+    convert the whole state_dict, and compare against this package's modules
+    end to end (deterministic mode path, no dropout/noise)."""
+    from generative_detection_tpu.models.autoencoder import PoseAutoencoderNet
+    from generative_detection_tpu.utils.torch_compat import convert_pose_autoencoder
+
+    dd = dict(DD)
+    enc = TEncoder(dd).eval()
+    dec = TDecoder(dd).eval()
+    quant_obj = tnn.Conv2d(32, 32, 1)
+    quant_pose = tnn.Conv2d(32, 16, 1)
+    post_quant = tnn.Conv2d(16, 16, 1)
+    pd_layers = tnn.Sequential(
+        tnn.Linear(4096, 500), tnn.Tanh(), tnn.Linear(500, 500), tnn.Tanh(),
+        tnn.Linear(500, 27),
+    )
+    pe_coord = tnn.Linear(512, 1024)
+    pe_latent = tnn.Linear(19, 4, bias=False)
+    pe_mlp1 = tnn.Linear(1024, 500)
+    pe_mlp2 = tnn.Linear(500, 4096)
+
+    x = rng.normal(size=(2, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        xt = torch.from_numpy(nchw(x))
+        h = enc(xt)
+        moments = quant_obj(h)
+        mean = moments[:, :16]
+        pose_feat = quant_pose(h)
+        flat = pose_feat.reshape(2, -1)
+        zp = pd_layers(flat)
+        bbox_mu = zp[:, :8]
+        c_pred = zp[:, -11:]
+        dec_pose_t = torch.cat([bbox_mu, c_pred], dim=-1)  # mode path
+        # pose re-encode
+        xg = np.linspace(-1, 1, 16)
+        yg = np.linspace(1, -1, 16)
+        g0, g1 = np.meshgrid(xg, yg)
+        coords = torch.from_numpy(
+            np.stack([g0.ravel(), g1.ravel()], 1).astype(np.float32)
+        )
+        cx = coords.expand(2, 256, 2).reshape(2, 512)
+        h_x = pe_coord(cx)
+        h_z = pe_latent(dec_pose_t).unsqueeze(1).expand(2, 256, 4).reshape(2, 1024)
+        enc_pose_flat = pe_mlp2(tF.silu(pe_mlp1(tF.silu(h_x + h_z))))
+        enc_pose = enc_pose_flat.reshape(2, 16, 16, 16)  # NCHW
+        z = mean + enc_pose
+        want = nhwc(dec(post_quant(z)).numpy())
+        want_pose = dec_pose_t.numpy()
+
+    sd = {}
+    for prefix, mod in [
+        ("encoder", enc), ("decoder", dec), ("quant_conv_obj", quant_obj),
+        ("quant_conv_pose", quant_pose), ("post_quant_conv", post_quant),
+    ]:
+        for k, v in mod.state_dict().items():
+            key = f"{prefix}.{k}" if prefix not in ("quant_conv_obj", "quant_conv_pose", "post_quant_conv") else f"{prefix}.{k}"
+            sd[key] = v.detach().numpy()
+    for i, l in enumerate(pd_layers):
+        if isinstance(l, tnn.Linear):
+            for p, v in l.state_dict().items():
+                sd[f"pose_decoder.layers.{i}.{p}"] = v.detach().numpy()
+    for name, mod in [("coord_linear", pe_coord), ("latent_linear", pe_latent),
+                      ("layers.1", pe_mlp1), ("layers.3", pe_mlp2)]:
+        for p, v in mod.state_dict().items():
+            sd[f"pose_encoder.{name}.{p}"] = v.detach().numpy()
+
+    net_params, _ = convert_pose_autoencoder(sd, dd)
+    net = PoseAutoencoderNet(
+        ddconfig=dd, embed_dim=16, num_classes=11,
+        encoder_pretrain_steps=0, add_noise_to_z_obj=False,
+        dropout_prob_init=0.0, dropout_prob_final=0.0,
+    )
+    variables = {"params": net_params}
+    xj = jnp.asarray(x)
+    posterior, pose_feat_j = net.apply(variables, xj, method=net.encode)
+    dec_pose_j, _ = net.apply(
+        variables, pose_feat_j, False, method=net._decode_pose,
+        rngs={"sample": jax.random.PRNGKey(0)},
+    )
+    np.testing.assert_allclose(np.asarray(dec_pose_j), want_pose, rtol=1e-3, atol=1e-4)
+    enc_pose_j = net.apply(variables, dec_pose_j, method=net._encode_pose)
+    out_j = net.apply(
+        variables, posterior.mode() + enc_pose_j, method=net.decode
+    )
+    np.testing.assert_allclose(np.asarray(out_j), want, rtol=1e-3, atol=5e-4)
+
+
 def test_pose_mlp_parity(rng):
     # torch pose decoder: Linear(4096,500) tanh Linear(500,500) tanh Linear(500,27)
     layers = tnn.Sequential(
