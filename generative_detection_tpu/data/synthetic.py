@@ -12,7 +12,7 @@ multi-chip dry run.
 from __future__ import annotations
 
 import math
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

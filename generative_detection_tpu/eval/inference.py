@@ -19,18 +19,13 @@ All per-patch math is vectorized (vmap-free jnp) and jit-compatible.
 
 from __future__ import annotations
 
-import functools
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..geometry.se3 import _se3_V
-from ..geometry import (
-    PatchPerspectiveCameras,
-    z_learned_to_world,
-)
+from ..geometry import z_learned_to_world
 
 POSE_6D_DIM = 4
 LHW_DIM = 3

@@ -33,7 +33,6 @@ import math
 import pickle
 from typing import Any, Optional, Tuple
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

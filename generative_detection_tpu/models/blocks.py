@@ -24,7 +24,7 @@ params.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Sequence, Tuple
+from typing import Any, Dict
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -18,7 +18,7 @@ from __future__ import annotations
 import logging
 import os
 import signal
-from typing import Any, Callable, Optional
+from typing import Callable, Optional
 
 import jax
 import numpy as np

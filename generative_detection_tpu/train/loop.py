@@ -20,8 +20,7 @@ from __future__ import annotations
 
 import logging
 import os
-import time
-from typing import Any, Dict, Iterable, List, Optional
+from typing import Any, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
