@@ -204,7 +204,24 @@ class NuScenesBase:
 
     # -- pose label math (ref _get_pose_6d_lhw, nuscenes.py:244-332) ------------
 
-    def _pose_labels(self, cam, bbox_3d, patch_center, patch_size_px, resampling_factor, fill_factor, label_name):
+    def _pose_labels(self, cam2img, bbox_3d, patch_center, patch_size_px, resampling_factor, fill_factor, label_name):
+        """Pure-numpy closed-form label math on the loader thread (the jnp
+        transform-stack variant ``_pose_labels_impl`` is the equivalence-test
+        reference; per-item device dispatch dominated loader latency)."""
+        from ..geometry.host import pose_labels_numpy
+
+        K = np.asarray(cam2img, np.float32)
+        x, y, z, l, h, w, yaw = (float(v) for v in bbox_3d)
+        return pose_labels_numpy(
+            x, y, z, l, h, w, yaw,
+            patch_center, patch_size_px, resampling_factor, fill_factor,
+            hmin=self.hmin_dict[label_name], hmax=self.hmax_dict[label_name],
+            patch_out=self.patch_size[0],
+            focal=float(K[0, 0]), px=float(K[0, 2]), py=float(K[1, 2]),
+            img_w=NUSC_IMG_WIDTH, img_h=NUSC_IMG_HEIGHT,
+        )
+
+    def _pose_labels_impl(self, cam, bbox_3d, patch_center, patch_size_px, resampling_factor, fill_factor, label_name):
         x, y, z, l, h, w, yaw = (float(v) for v in bbox_3d)
         import jax.numpy as jnp
 
@@ -241,18 +258,17 @@ class NuScenesBase:
         return pose_6d, bbox_sizes, yaw
 
     def _perturbed_v3(self, yaw: float) -> Tuple[float, float]:
-        """(v3_perturbed, yaw_perturbed) (ref :196-242)."""
+        """(v3_perturbed, yaw_perturbed) (ref :196-242). For a pure-yaw
+        row-form SE(3) matrix the log's v3 is exactly -yaw (see
+        tests/test_geometry.py::test_se3_log_of_dataset_style_matrix), so no
+        per-item device math is needed."""
         delta = math.radians(self._rng.uniform(30.0, 90.0))
         yp = yaw + delta if self._rng.random() > 0.5 else yaw - delta
         if yp < -math.pi:
             yp += 2 * math.pi
         elif yp > math.pi:
             yp -= 2 * math.pi
-        R = np.asarray(euler_angles_to_matrix(np.asarray([0.0, 0.0, yp], np.float32), "XYZ"))
-        M = np.eye(4, dtype=np.float32)
-        M[:3, :3] = R
-        log = np.asarray(se3_log_map(np.asarray(M.T)[None]))[0]
-        return float(log[5]), yp
+        return -yp, yp
 
     def _perturbed_center(self, center_2d, bbox):
         """Random in-bbox center shift (ref get_perturbed_patch :334-357)."""
@@ -299,11 +315,10 @@ class NuScenesBase:
         patch, patch_size_px, resampling, padding_resampled, mask = crop
         fill_factor = padding_resampled / self.patch_size[0]
 
-        cam = self._camera_for(img_info["cam2img"])
         label_id = int(instance["bbox_label"])
         label_name = LABEL_ID2NAME[label_id]
         labels = self._pose_labels(
-            cam,
+            img_info["cam2img"],
             instance["bbox_3d"],
             center_2d,
             patch_size_px,

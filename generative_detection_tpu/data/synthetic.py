@@ -64,7 +64,26 @@ def pose_labels_from_box(
     focal: float = _FOCAL,
 ):
     """3D camera-frame box -> (pose_6d[4], bbox_sizes[3], yaw), the label math
-    of ref nuscenes.py:244-332 (_get_pose_6d_lhw)."""
+    of ref nuscenes.py:244-332 (_get_pose_6d_lhw). Pure-numpy closed form on
+    the loader thread (microseconds/item); the jnp transform-stack variant
+    below is kept as the equivalence-test reference."""
+    from ..geometry.host import pose_labels_numpy
+
+    out = pose_labels_numpy(
+        x, y, z, l, h, w, yaw, patch_center, patch_size_pixels,
+        patch_resampling_factor, fill_factor, hmin, hmax, patch_out, focal,
+        px=_PP[0], py=_PP[1], img_w=_IMG_W, img_h=_IMG_H,
+    )
+    if out is None:
+        raise ValueError("non-finite pose")
+    return out
+
+
+def pose_labels_from_box_jnp(
+    x, y, z, l, h, w, yaw, patch_center, patch_size_pixels,
+    patch_resampling_factor, fill_factor, hmin, hmax, patch_out=256,
+    focal=_FOCAL,
+):
     import jax.numpy as jnp
 
     cam = PatchPerspectiveCameras.create(

@@ -139,6 +139,25 @@ def test_patch_projection_roundtrip():
     np.testing.assert_allclose(back, np.asarray(pts), rtol=1e-3, atol=1e-4)
 
 
+def test_host_label_math_matches_jnp_path():
+    # pure-numpy loader-thread label math vs the jnp transform stack
+    from generative_detection_tpu.data.synthetic import (
+        pose_labels_from_box,
+        pose_labels_from_box_jnp,
+    )
+
+    args = dict(
+        x=2.0, y=0.7, z=21.0, l=4.2, h=1.7, w=2.0, yaw=0.6,
+        patch_center=(860.0, 480.0), patch_size_pixels=100.0,
+        patch_resampling_factor=2.56, fill_factor=0.12, hmin=0.5, hmax=4.0,
+    )
+    pose_np, sizes_np, yaw_np = pose_labels_from_box(**args)
+    pose_j, sizes_j, yaw_j = pose_labels_from_box_jnp(**args)
+    np.testing.assert_allclose(pose_np, pose_j, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(sizes_np, sizes_j, rtol=1e-6)
+    assert yaw_np == yaw_j
+
+
 def test_z_world_learned_roundtrip():
     z = 17.3
     got = z_learned_to_world(
