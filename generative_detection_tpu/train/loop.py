@@ -192,35 +192,53 @@ class Trainer:
 
     # -- image logging ------------------------------------------------------------
 
+    def _image_fwd_fns(self):
+        """Jitted image-logging forwards (params as arguments; eager apply
+        would dispatch op-by-op, which is very slow on remote backends)."""
+        if "fwd" not in self._image_fns:
+            m = self.model
+
+            @jax.jit
+            def fwd(params, x, step, key):
+                rngs = {
+                    "sample": jax.random.fold_in(key, 0),
+                    "dropout": jax.random.fold_in(key, 1),
+                    "noise": jax.random.fold_in(key, 2),
+                }
+                outs = m.net.apply({"params": params}, x, step, rngs=rngs)
+                return outs["dec_obj"], outs["dec_pose"]
+
+            @jax.jit
+            def fwd_pert(params, x, pose_pert, key):
+                return m.net.apply(
+                    {"params": params},
+                    x,
+                    pose_pert,
+                    rngs={"sample": jax.random.fold_in(key, 3)},
+                    method=m.net.perturbed_pose_forward,
+                )
+
+            self._image_fns = {"fwd": fwd, "fwd_pert": fwd_pert}
+        return self._image_fns
+
     def log_images(self, prepared_batch, max_images: int = 4) -> Dict[str, np.ndarray]:
         """ref autoencoder.py:397-432: inputs / recon / perturbed-pose recon."""
         if self.state is None:
             return {}
-        m = self.model
+        fns = self._image_fwd_fns()
         x = prepared_batch["rgb_gt"][:max_images]
         step = jnp.asarray(
             self._global_step_for_phase(self.global_batch()), jnp.int32
         )
         key = jax.random.fold_in(jax.random.PRNGKey(self.seed + 7), self.global_batch())
-        rngs = {
-            "sample": jax.random.fold_in(key, 0),
-            "dropout": jax.random.fold_in(key, 1),
-            "noise": jax.random.fold_in(key, 2),
-        }
-        outs = m.net.apply({"params": self.state.net_params}, x, step, rngs=rngs)
-        pose_pert = outs["dec_pose"].at[:, 3].set(
+        dec_obj, dec_pose = fns["fwd"](self.state.net_params, x, step, key)
+        pose_pert = dec_pose.at[:, 3].set(
             prepared_batch["yaw_perturbed"][: x.shape[0]]
         )
-        xrec_pert = m.net.apply(
-            {"params": self.state.net_params},
-            x,
-            pose_pert,
-            rngs={"sample": jax.random.fold_in(key, 3)},
-            method=m.net.perturbed_pose_forward,
-        )
+        xrec_pert = fns["fwd_pert"](self.state.net_params, x, pose_pert, key)
         return {
             "inputs_rgb": np.asarray(x),
-            "reconstructions_rgb": np.asarray(outs["dec_obj"]),
+            "reconstructions_rgb": np.asarray(dec_obj),
             "perturbed_pose_reconstruction_rgb": np.asarray(xrec_pert),
         }
 
