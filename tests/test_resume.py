@@ -1,0 +1,36 @@
+"""Resume semantics: trainer continues from the last checkpoint."""
+
+import jax
+import numpy as np
+
+from generative_detection_tpu.config import instantiate_from_config, load_yaml
+from generative_detection_tpu.train.loop import Trainer
+
+
+def test_trainer_resume_continues_step_counter(tmp_path):
+    cfg = load_yaml("configs/autoencoder/pose/tiny_cpu.yaml")
+    model = instantiate_from_config(cfg["model"])
+    model.learning_rate = 1e-4
+    data = instantiate_from_config(cfg["data"])
+    data.setup()
+
+    logdir = str(tmp_path / "run")
+    t1 = Trainer(model, logdir=logdir, max_epochs=1, max_steps=2,
+                 limit_val_batches=1, step_counting="batch")
+    t1.fit(data)
+    assert t1.global_batch() == 2
+    w1 = np.asarray(jax.tree.leaves(t1.state.net_params)[0])
+
+    # fresh trainer resuming from the run dir's checkpoints (CLI -r semantics)
+    model2 = instantiate_from_config(cfg["model"])
+    model2.learning_rate = 1e-4
+    t2 = Trainer(
+        model2, logdir=logdir, max_epochs=2, max_steps=4, limit_val_batches=1,
+        step_counting="batch",
+        resume_from_checkpoint=str(tmp_path / "run" / "checkpoints"),
+    )
+    t2.fit(data)
+    assert t2.global_batch() == 4
+    # resumed params differ from the first run's end only by further training
+    w2 = np.asarray(jax.tree.leaves(t2.state.net_params)[0])
+    assert w1.shape == w2.shape

@@ -209,6 +209,22 @@ def main():
         step_counting=trainer_cfg.get("step_counting", "optimizer"),
     )
 
+    # SIGUSR2 -> drop into the debugger on host 0 (ref train.py:482-488)
+    import signal as _signal
+
+    def _divein(*_a):
+        from generative_detection_tpu.parallel.multihost import is_main_process
+
+        if is_main_process():
+            import pdb
+
+            pdb.set_trace()
+
+    try:
+        _signal.signal(_signal.SIGUSR2, _divein)
+    except (ValueError, OSError):
+        pass  # non-main thread / unsupported platform
+
     try:
         if opt.train:
             trainer.fit(data)
