@@ -1,0 +1,94 @@
+"""Serving export: the per-patch 3D detector as a portable StableHLO artifact.
+
+The reference has no deployment story (its eval.py doesn't even exist); this
+framework targets production serving, so the full inference pipeline —
+patches -> encode -> pose decode (mode) -> 3D box recovery — is exported via
+``jax.export`` into a self-contained serialized function that any JAX runtime
+(or XLA-compatible server) can load and execute without the Python model
+code. Weights are baked into the artifact.
+
+Usage:
+    blob = export_detector(model, net_params, hmin_table, hmax_table, batch=8)
+    open("detector.bin", "wb").write(blob)
+    # later / elsewhere:
+    fn = load_detector(open("detector.bin", "rb").read())
+    out = fn(patches, focal, pp, patch_size, center, resampling)
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .eval.inference import recover_boxes
+
+
+def make_detector_fn(model, net_params, hmin_table, hmax_table, patch_out: int = 256):
+    """Close the model into a pure patches->boxes function. Weights are
+    captured as constants by design here (the artifact must be
+    self-contained); for in-process use prefer passing params as arguments."""
+
+    def detect(rgb, focal, principal_point, patch_size, patch_center, resampling):
+        posterior, pose_feat = model.net.apply(
+            {"params": net_params}, rgb, method=model.net.encode
+        )
+        dec_pose, _ = model.net.apply(
+            {"params": net_params},
+            pose_feat,
+            False,  # mode path: deterministic detector
+            method=model.net._decode_pose,
+            rngs={"sample": jax.random.PRNGKey(0)},
+        )
+        rec = recover_boxes(
+            dec_pose,
+            focal_length=focal,
+            principal_point=principal_point,
+            patch_size=patch_size,
+            patch_center=patch_center,
+            resampling_factor=resampling,
+            hmin_table=hmin_table,
+            hmax_table=hmax_table,
+            patch_out=patch_out,
+        )
+        return rec["boxes_3d"], rec["class_id"], rec["score"]
+
+    return detect
+
+
+def export_detector(
+    model,
+    net_params,
+    hmin_table,
+    hmax_table,
+    batch: int = 8,
+    input_size: Optional[int] = None,
+    platforms=None,
+) -> bytes:
+    """Serialize the detector for ``batch`` patches to a StableHLO blob."""
+    size = input_size or getattr(model, "input_size", 256)
+    detect = make_detector_fn(
+        model, net_params, jnp.asarray(hmin_table), jnp.asarray(hmax_table), size
+    )
+    args = (
+        jax.ShapeDtypeStruct((batch, size, size, 3), jnp.float32),
+        jax.ShapeDtypeStruct((batch,), jnp.float32),
+        jax.ShapeDtypeStruct((batch, 2), jnp.float32),
+        jax.ShapeDtypeStruct((batch,), jnp.float32),
+        jax.ShapeDtypeStruct((batch, 2), jnp.float32),
+        jax.ShapeDtypeStruct((batch,), jnp.float32),
+    )
+    exported = jax.export.export(jax.jit(detect), platforms=platforms)(*args)
+    return bytes(exported.serialize())
+
+
+def load_detector(blob: bytes):
+    """Deserialize an exported detector into a callable."""
+    exported = jax.export.deserialize(bytearray(blob))
+
+    def call(*args):
+        return exported.call(*[jnp.asarray(a) for a in args])
+
+    return call
