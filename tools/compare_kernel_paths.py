@@ -1,0 +1,54 @@
+#!/usr/bin/env python
+"""Compare one full train step between the Pallas and XLA kernel paths on the
+local TPU (same state, same rngs). Run when the remote Pallas compile service
+is healthy (it oscillates; see docs/BENCH.md) — the Pallas leg retries up to
+6 times. Expected: relative differences ~1e-3 or less on every logged metric.
+"""
+
+import sys, os; sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
+import importlib
+import numpy as np
+
+def run(pallas):
+    os.environ["GDT_USE_PALLAS"] = pallas
+    # fresh process would be cleaner; emulate by clearing caches
+    import jax
+    jax.clear_caches()
+    import generative_detection_tpu.ops.dispatch as d
+    d._PALLAS_OK = None
+    from generative_detection_tpu.config import load_yaml, instantiate_from_config
+    from generative_detection_tpu.train import create_train_state, make_optimizers, make_train_step
+    from generative_detection_tpu.parallel import create_mesh, shard_batch
+    import jax.numpy as jnp
+    cfg = load_yaml("configs/autoencoder/pose/autoencoder_kl_16x16x16.yaml")
+    cfg["model"]["params"]["lossconfig"]["params"]["dataset_stats_path"] = None
+    model = instantiate_from_config(cfg["model"])
+    model.learning_rate = 2.16e-4
+    opt_ae, opt_disc = make_optimizers(model.learning_rate)
+    mesh = create_mesh()
+    bs = 4
+    rng = np.random.default_rng(0)
+    b = model.example_batch(bs)
+    b["patch"] = rng.uniform(0,1,size=(bs,256,256,3)).astype(np.float32)
+    cls = np.resize(np.asarray([0,2,10,5],np.int32), bs); b["class_id"]=cls; b["original_class_id"]=cls
+    with mesh:
+        state = create_train_state(model, jax.random.PRNGKey(0), bs, opt_ae, opt_disc)
+        state = state.replace(step=jnp.asarray(40000, jnp.int32))
+        fn = jax.jit(make_train_step(model, opt_ae, opt_disc, phase="full"))
+        prep = shard_batch(model.prepare_batch(b), mesh)
+        _, m = fn(state, prep)
+    return {k: float(np.asarray(v)) for k, v in m.items()}
+
+m0 = run("0")
+import time
+m1 = None
+for _attempt in range(6):
+    try:
+        m1 = run("1"); break
+    except Exception as e:
+        print("pallas attempt", _attempt, "failed:", str(e).splitlines()[0][:90]); time.sleep(20)
+assert m1 is not None, "pallas leg never compiled"
+for k in ["aeloss", "discloss", "train/rec_loss", "train/nll_loss", "train/g_loss", "train/kl_loss_obj", "train/pose_loss", "train/d_weight"]:
+    a, b2 = m0[k], m1[k]
+    rel = abs(a-b2)/max(abs(a), 1e-6)
+    print(f"{k}: xla={a:.6g} pallas={b2:.6g} rel={rel:.2e}")
