@@ -72,6 +72,35 @@ def interpret_mode() -> bool:
     return os.environ.get("GDT_PALLAS_INTERPRET", "0") == "1"
 
 
+_PROBE_CACHE_PATH = os.environ.get(
+    "GDT_PALLAS_PROBE_CACHE", "/tmp/gdt_pallas_probe.json"
+)
+_PROBE_CACHE_TTL_S = 600.0
+
+
+def _cached_probe() -> bool:
+    """Probe with a cross-process TTL cache: a hung compile service makes the
+    probe cost minutes, and every fresh process (train, eval, bench, tests)
+    would pay it again otherwise."""
+    import json
+    import time
+
+    try:
+        with open(_PROBE_CACHE_PATH) as f:
+            entry = json.load(f)
+        if time.time() - entry["time"] < _PROBE_CACHE_TTL_S:
+            return bool(entry["ok"])
+    except Exception:  # noqa: BLE001 — missing/corrupt cache
+        pass
+    ok = _probe()
+    try:
+        with open(_PROBE_CACHE_PATH, "w") as f:
+            json.dump({"time": time.time(), "ok": ok}, f)
+    except OSError:
+        pass
+    return ok
+
+
 def pallas_enabled() -> bool:
     """Whether Pallas kernels should be used on this backend (cached)."""
     global _PALLAS_OK
@@ -86,6 +115,6 @@ def pallas_enabled() -> bool:
     if mode == "1":
         return True
     if _PALLAS_OK is None:
-        _PALLAS_OK = _probe()
+        _PALLAS_OK = _cached_probe()
         logging.info("Pallas availability probe: %s", _PALLAS_OK)
     return _PALLAS_OK

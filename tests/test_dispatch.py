@@ -1,0 +1,55 @@
+"""Kernel dispatch policy: env modes, probe caching, CPU behavior."""
+
+import json
+
+import pytest
+
+from generative_detection_tpu.ops import dispatch
+
+
+@pytest.fixture(autouse=True)
+def reset(monkeypatch, tmp_path):
+    monkeypatch.setattr(dispatch, "_PALLAS_OK", None)
+    monkeypatch.setattr(dispatch, "_PROBE_CACHE_PATH", str(tmp_path / "probe.json"))
+    yield
+
+
+def test_cpu_backend_disables_pallas(monkeypatch):
+    monkeypatch.delenv("GDT_USE_PALLAS", raising=False)
+    assert dispatch.pallas_enabled() is False  # conftest pins CPU
+
+
+def test_mode_0_and_1(monkeypatch):
+    monkeypatch.setenv("GDT_USE_PALLAS", "0")
+    assert dispatch.pallas_enabled() is False
+    # mode 1 still requires a TPU backend; on CPU it stays off
+    monkeypatch.setenv("GDT_USE_PALLAS", "1")
+    assert dispatch.pallas_enabled() is False
+
+
+def test_interpret_mode_wins(monkeypatch):
+    monkeypatch.setenv("GDT_PALLAS_INTERPRET", "1")
+    assert dispatch.pallas_enabled() is True
+
+
+def test_probe_cache_roundtrip(monkeypatch, tmp_path):
+    calls = []
+
+    def fake_probe(timeout_s=240):
+        calls.append(1)
+        return True
+
+    monkeypatch.setattr(dispatch, "_probe", fake_probe)
+    assert dispatch._cached_probe() is True
+    assert dispatch._cached_probe() is True  # served from file cache
+    assert len(calls) == 1
+    entry = json.load(open(dispatch._PROBE_CACHE_PATH))
+    assert entry["ok"] is True
+
+
+def test_probe_cache_expiry(monkeypatch):
+    monkeypatch.setattr(dispatch, "_probe", lambda timeout_s=240: False)
+    monkeypatch.setattr(dispatch, "_PROBE_CACHE_TTL_S", 0.0)
+    assert dispatch._cached_probe() is False
+    monkeypatch.setattr(dispatch, "_probe", lambda timeout_s=240: True)
+    assert dispatch._cached_probe() is True  # TTL 0 -> re-probe
