@@ -22,6 +22,28 @@ def test_dryrun_multichip():
     ge.dryrun_multichip(8)
 
 
+def test_dryrun_multichip_fresh_subprocess():
+    """Invoke the entry EXACTLY as the driver does: fresh interpreter, no
+    conftest platform switch, no XLA_FLAGS — the entry must self-provision
+    the virtual CPU mesh (round-1 driver failure mode)."""
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["JAX_PLATFORMS"] = "cpu"  # keep CI off the (possibly absent) TPU
+    proc = subprocess.run(
+        [sys.executable, "-c", "import __graft_entry__; __graft_entry__.dryrun_multichip(8)"],
+        cwd=root,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=580,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "dryrun_multichip OK" in proc.stdout
+
+
 def test_trainer_fit_tiny(tiny_cfg, tmp_path):
     from generative_detection_tpu.train.callbacks import ImageLogger, SetupCallback
     from generative_detection_tpu.train.loop import Trainer
