@@ -66,20 +66,27 @@ def _gn_kernel(x_ref, gamma_ref, beta_ref, out_ref, *, num_groups, eps, act):
     colsum = jnp.sum(x, axis=0, keepdims=True)  # (1, C)
     colsumsq = jnp.sum(x * x, axis=0, keepdims=True)  # (1, C)
     denom = float(l * cg)
+    # HIGHEST precision: the MXU's default fp32 path truncates inputs to
+    # bf16, which wrecks the E[x^2]-E[x]^2 cancellation (observed 3e-2 error).
+    hi = jax.lax.Precision.HIGHEST
     mean_g = jax.lax.dot_general(
-        colsum, onehot, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        colsum, onehot, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=hi,
     ) / denom  # (1, G)
     meansq_g = jax.lax.dot_general(
-        colsumsq, onehot, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        colsumsq, onehot, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=hi,
     ) / denom
     var_g = meansq_g - mean_g * mean_g
     rstd_g = jax.lax.rsqrt(var_g + eps)  # (1, G)
     # Scatter group stats back to channels: (1, G) @ (G, C).
     mean_c = jax.lax.dot_general(
-        mean_g, onehot.T, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        mean_g, onehot.T, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=hi,
     )  # (1, C)
     rstd_c = jax.lax.dot_general(
-        rstd_g, onehot.T, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        rstd_g, onehot.T, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=hi,
     )
     y = (x - mean_c) * rstd_c
     y = y * gamma_ref[0].astype(jnp.float32) + beta_ref[0].astype(jnp.float32)
