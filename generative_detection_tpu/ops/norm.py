@@ -25,8 +25,13 @@ from jax.experimental.pallas import tpu as pltpu
 from .dispatch import interpret_mode as _interpret
 from .dispatch import pallas_enabled
 
-# Leave headroom for double buffering and other live buffers.
-_VMEM_BUDGET_BYTES = 10 * 1024 * 1024
+# Max elements (H*W*C) of one batch row for the single-shot kernel. The block
+# lives in VMEM double-buffered on both ends plus fp32 working copies; blocks
+# over ~2 MB fp32 (l*c > 512K elements, e.g. 64x64x256) overflow VMEM and the
+# Mosaic compile fails. Empirically 64x64x128 and 32x32x512 (512K) compile,
+# 64x64x256 (1M) does not. Larger shapes take the one-pass XLA path, which is
+# already HBM-optimal (2R+1W) for an unfused GN.
+_MAX_BLOCK_ELEMENTS = 512 * 1024
 
 
 def _gn_reference(
@@ -40,8 +45,12 @@ def _gn_reference(
     b, h, w, c = x.shape
     cg = c // num_groups
     xg = x.reshape(b, h * w, num_groups, cg).astype(jnp.float32)
+    # One-pass stats (E[x^2] - E[x]^2): both reductions are siblings, so XLA
+    # fuses them into a single read of x. The two-pass formulation
+    # mean((x - mean)^2) forces an extra full HBM pass.
     mean = jnp.mean(xg, axis=(1, 3), keepdims=True)
-    var = jnp.mean(jnp.square(xg - mean), axis=(1, 3), keepdims=True)
+    meansq = jnp.mean(jnp.square(xg), axis=(1, 3), keepdims=True)
+    var = jnp.maximum(meansq - jnp.square(mean), 0.0)
     y = (xg - mean) * jax.lax.rsqrt(var + eps)
     y = y.reshape(b, h, w, c)
     y = y * gamma.reshape(1, 1, 1, c) + beta.reshape(1, 1, 1, c)
@@ -187,8 +196,11 @@ def group_norm(
     interpret = _interpret()
     if use_pallas is None:
         use_pallas = pallas_enabled()
-    # In-VMEM bytes for one batch row (input + output in fp32 working set).
-    slab_bytes = h * w * c * 4 * 2
-    if use_pallas and slab_bytes <= _VMEM_BUDGET_BYTES and (h * w) % 8 == 0 and c % 128 == 0:
+    if (
+        use_pallas
+        and h * w * c <= _MAX_BLOCK_ELEMENTS
+        and (h * w) % 8 == 0
+        and c % 128 == 0
+    ):
         return _make_gn_custom_vjp(num_groups, eps, act, interpret)(x, gamma, beta)
     return _gn_reference(x, gamma, beta, num_groups, eps, act)
