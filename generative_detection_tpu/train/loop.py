@@ -42,7 +42,8 @@ def _device_prefetch(iterator, prepare, mesh, depth: int = 2):
             yield buf.popleft()
     while buf:
         yield buf.popleft()
-from .callbacks import Callback
+from ..parallel.multihost import is_main_process
+from .callbacks import Callback, CheckpointCallback
 from .checkpoint import CheckpointManager, save_on_signal
 from .metrics import MetricsLogger
 from .state import TrainState, create_train_state, make_optimizers
@@ -94,9 +95,24 @@ class Trainer:
         self.profiler_dir = profiler_dir
 
         all_devices = jax.devices()
-        if devices:
+        # `devices` limits the mesh only in single-process runs; multi-host
+        # meshes must span every global device (one jit program per step).
+        if devices and jax.process_count() == 1:
             all_devices = all_devices[: int(devices)]
         self.mesh = create_mesh(all_devices)
+        # host-0 I/O gating (replaces Lightning rank_zero_only,
+        # ref src/util/callbacks.py:10,128,140)
+        self.is_main_process = is_main_process()
+        # every-N-steps checkpoint stream (ref train.py:309-325), taken from a
+        # configured CheckpointCallback
+        self.every_n_train_steps = next(
+            (
+                cb.every_n_train_steps
+                for cb in self.callbacks
+                if isinstance(cb, CheckpointCallback) and cb.every_n_train_steps
+            ),
+            None,
+        )
         self.epoch = 0
         self.val_batch_idx = 0
         self.state: Optional[TrainState] = None
@@ -112,7 +128,10 @@ class Trainer:
         return int(self.state.step) if self.state is not None else 0
 
     def _global_step_for_phase(self, batch_idx: int) -> int:
-        return 2 * batch_idx if self.step_counting == "optimizer" else batch_idx
+        # Lightning's global_step counts OPTIMIZER steps: 2/batch (two
+        # optimizers), divided by the accumulation factor (ref train.py:376-381)
+        opt_step = batch_idx // max(self.accumulate_grad_batches, 1)
+        return 2 * opt_step if self.step_counting == "optimizer" else opt_step
 
     def _phase_for(self, batch_idx: int) -> str:
         pretrain = self.model.encoder_pretrain_steps
@@ -136,13 +155,19 @@ class Trainer:
                     phase=phase,
                     disc_forward=self.disc_forward,
                     step_counting=self.step_counting,
+                    accumulate_grad_batches=self.accumulate_grad_batches,
                 ),
                 donate_argnums=(0,),
             )
             for phase in ("pretrain", "full")
         }
         self._eval_fn = jax.jit(
-            make_eval_step(self.model, phase="auto", step_counting=self.step_counting)
+            make_eval_step(
+                self.model,
+                phase="auto",
+                step_counting=self.step_counting,
+                accumulate_grad_batches=self.accumulate_grad_batches,
+            )
         )
 
     def _pallas_fallback(self, fn, *args, **kwargs):
@@ -294,8 +319,17 @@ class Trainer:
                         )
                         self._maybe_profile(start=False)
                         step = self.global_batch()
-                        if self.logger and step % self.log_every_n == 0:
+                        if (
+                            self.logger
+                            and self.is_main_process
+                            and step % self.log_every_n == 0
+                        ):
                             self.logger.log_metrics(metrics, step)
+                        if (
+                            self.every_n_train_steps
+                            and step % self.every_n_train_steps == 0
+                        ):
+                            self._ckpt_mgr.save_trainstep(step, self.state)
                         for cb in self.callbacks:
                             cb.on_train_batch_end(self, metrics, prepared)
                         if self.max_steps and step >= self.max_steps:
@@ -326,7 +360,11 @@ class Trainer:
         loader = (
             datamodule.val_dataloader if split == "val" else datamodule.test_dataloader
         )
-        agg: Dict[str, list] = {}
+        # Aggregate on device: per-batch host fetches would serialize eval on
+        # remote backends (one round trip per metric per batch); instead keep
+        # lazy device scalars and fetch once after the last batch dispatches.
+        agg: Dict[str, Any] = {}
+        n_batches = 0
         self.val_batch_idx = 0
         eval_rng = jax.random.PRNGKey(self.seed + 1)
         for i, batch in enumerate(loader()):
@@ -336,12 +374,15 @@ class Trainer:
             prepared = shard_batch(prepared, self.mesh)
             metrics = self._eval_fn(self.state, prepared, jax.random.fold_in(eval_rng, i))
             for k, v in metrics.items():
-                agg.setdefault(k, []).append(float(np.asarray(v)))
+                agg[k] = v if k not in agg else agg[k] + v
+            n_batches += 1
             for cb in self.callbacks:
                 cb.on_validation_batch_end(self, metrics, prepared)
             self.val_batch_idx += 1
-        means = {k: float(np.mean(v)) for k, v in agg.items() if v}
-        if self.logger and means:
+        means = {
+            k: float(np.asarray(v)) / n_batches for k, v in agg.items()
+        } if n_batches else {}
+        if self.logger and self.is_main_process and means:
             self.logger.log_metrics(means, self.global_batch())
         if means and self._ckpt_mgr is not None and self.monitor in means:
             self._ckpt_mgr.save_best(self.global_batch(), self.state, means)

@@ -84,6 +84,7 @@ def make_train_step(
     disc_forward: str = "shared",
     step_counting: str = "optimizer",
     lean_pretrain: bool = True,
+    accumulate_grad_batches: int = 1,
 ) -> Callable[[TrainState, Dict[str, jnp.ndarray]], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Build the jittable train step for a ``PoseAutoencoder`` wrapper.
 
@@ -98,19 +99,29 @@ def make_train_step(
     disc_factor==0 makes the D grads exactly zero, so only log-only values
     change (rec/g/disc metrics read 0 instead of their on-zeros values).
     Saves ~25-30%% of step cost for the first quarter of the recipe.
+
+    accumulate_grad_batches: must match the ``optax.MultiSteps`` factor baked
+    into ``opt_ae``/``opt_disc``. ``state.step`` counts micro-batches, but
+    Lightning's ``global_step`` (which drives the curriculum, ref
+    train.py:376-381 + autoencoder.py:184-206) counts OPTIMIZER steps — so
+    the curriculum clock is ``state.step // k``. Forward PRNGs are also keyed
+    on the optimizer step, making the accumulated update reproducible as a
+    function of the window.
     """
     net, loss = model.net, model.loss
     pretrain = loss.encoder_pretrain_steps
     disc_factor_cfg = loss.disc_factor
     disc_weight_cfg = loss.disc_weight
+    accum = max(int(accumulate_grad_batches), 1)
 
     # lean only valid when the discriminator cannot be active during pretrain
     lean = lean_pretrain and phase == "pretrain" and loss.disc_start >= pretrain
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         step = state.step
-        step_g, step_d = _global_steps(step, step_counting)
-        rngs_g = _forward_rngs(state.rng, step, salt=0)
+        opt_step = step // accum if accum > 1 else step
+        step_g, step_d = _global_steps(opt_step, step_counting)
+        rngs_g = _forward_rngs(state.rng, opt_step, salt=0)
 
         rgb = batch["rgb_gt"]
         loss_params = state.loss_params
@@ -194,7 +205,7 @@ def make_train_step(
             new_loss_params = loss_params
         else:
             if disc_forward == "separate":
-                rngs_d = _forward_rngs(state.rng, step, salt=1)
+                rngs_d = _forward_rngs(state.rng, opt_step, salt=1)
                 outs_d = net.apply(
                     {"params": net_params}, rgb, step_d, phase=phase, rngs=rngs_d
                 )
@@ -346,14 +357,16 @@ def make_eval_step(
     phase: str = "auto",
     step_counting: str = "optimizer",
     split: str = "val",
+    accumulate_grad_batches: int = 1,
 ) -> Callable:
     """Validation step (ref autoencoder.py:332-363): forward + both loss
     passes for logging only; d_weight = 0 like the reference's eval-mode
     RuntimeError fallback."""
     net, loss = model.net, model.loss
+    accum = max(int(accumulate_grad_batches), 1)
 
     def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray], eval_rng):
-        step_g, step_d = _global_steps(state.step, step_counting)
+        step_g, step_d = _global_steps(state.step // accum, step_counting)
         rngs = _forward_rngs(eval_rng, state.step, salt=2)
         rgb = batch["rgb_gt"]
         outs = net.apply(
