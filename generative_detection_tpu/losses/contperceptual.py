@@ -264,6 +264,38 @@ class PoseLoss(nn.Module):
         loss = _masked_mean(jnp.sum(per), jnp.sum(mask_bg))
         return loss, self.fill_factor_weight * loss
 
+    def get_mask_loss(self, mask_gt, dec_obj, mask_2d_bbox):
+        """Alpha-mask reconstruction term (ref contperceptual.py:166-175).
+
+        In the reference this is DEAD code for every shipped config: the model
+        always passes ``mask_gt=None`` (ref autoencoder.py:310-314), which
+        force-disables it at :232. When enabled it needs a mask ground truth
+        AND a 4-channel reconstruction (RGBA, ref :246-248); anything else is
+        a config error and fails loudly here instead of silently training
+        without the term. Note the reference's activated path would also
+        crash (it adds an unreduced elementwise tensor into the scalar total,
+        :313); we take the evident intent: mean of the masked elementwise
+        loss, scaled by ``mask_weight``.
+        """
+        if not self.use_mask_loss:
+            z = jnp.asarray(0.0)
+            return z, z
+        if mask_gt is None or dec_obj.shape[-1] != 4:
+            raise ValueError(
+                "use_mask_loss=True requires a mask ground truth in the batch "
+                "and a 4-channel (RGBA) reconstruction (ddconfig out_ch: 4); "
+                f"got mask_gt={'None' if mask_gt is None else 'ok'}, "
+                f"reconstruction channels={dec_obj.shape[-1]}. The reference "
+                "silently disables the term in this situation "
+                "(ref contperceptual.py:232,248) — this framework rejects it."
+            )
+        inputs_mask = mask_gt * mask_2d_bbox
+        recons_mask = dec_obj[..., 3:] * mask_2d_bbox
+        mask_loss = jnp.mean(
+            self._elemwise(self.mask_loss_fn, inputs_mask, recons_mask)
+        )
+        return mask_loss, self.mask_weight * mask_loss
+
     def compute_pose_kl_loss(self, bbox_posterior, mask_bg, class_orig_id):
         """Vectorized per-class prior KL (ref python loop :191-205):
         gather (mean, logvar) priors by canonical class id, skip 'background'
@@ -359,8 +391,7 @@ class PoseLoss(nn.Module):
         fill_loss, w_fill = self.compute_fill_factor_loss(
             fill_factor_gt, fill_rec[:, 0], mask_bg
         )
-        mask_loss = jnp.asarray(0.0)
-        w_mask = jnp.asarray(0.0)
+        mask_loss, w_mask = self.get_mask_loss(mask_gt, dec_obj, mask_2d_bbox)
 
         if rec_terms is None:
             rec_terms = self.rec_gan_terms(

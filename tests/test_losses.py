@@ -227,3 +227,38 @@ def test_prior_tables_from_stats(tmp_path):
     means, logvars = build_prior_tables(str(p), train_on_yaw=True)
     np.testing.assert_allclose(means[0][2], 1.5)
     np.testing.assert_allclose(logvars[0][4], 0.1)
+
+
+def test_mask_loss_enabled_path(loss_setup):
+    """use_mask_loss=True with RGBA reconstruction + mask gt computes the
+    term (ref contperceptual.py:166-175; dead in every shipped ref config)."""
+    loss = make_loss(use_mask_loss=True, mask_weight=2.0, mask_loss_fn="l2")
+    rng = np.random.default_rng(5)
+    mask_gt = jnp.asarray(rng.uniform(0, 1, size=(B, S, S, 1)).astype(np.float32))
+    dec_rgba = jnp.asarray(rng.normal(size=(B, S, S, 4)).astype(np.float32))
+    mask2d = jnp.ones((B, S, S, 1), jnp.float32)
+    got_loss, got_w = loss.get_mask_loss(mask_gt, dec_rgba, mask2d)
+    want = float(jnp.mean(jnp.square(mask_gt - dec_rgba[..., 3:])))
+    np.testing.assert_allclose(float(got_loss), want, rtol=1e-6)
+    np.testing.assert_allclose(float(got_w), 2.0 * want, rtol=1e-6)
+
+
+def test_mask_loss_rejects_bad_config(loss_setup):
+    """use_mask_loss=True without mask gt / RGBA output fails loudly instead
+    of silently training without the term (the reference silently disables,
+    ref contperceptual.py:232,248)."""
+    loss = make_loss(use_mask_loss=True, mask_weight=1.0)
+    rng = np.random.default_rng(5)
+    dec_rgb = jnp.asarray(rng.normal(size=(B, S, S, 3)).astype(np.float32))
+    mask2d = jnp.ones((B, S, S, 1), jnp.float32)
+    with pytest.raises(ValueError, match="use_mask_loss"):
+        loss.get_mask_loss(None, dec_rgb, mask2d)
+    mask_gt = jnp.ones((B, S, S, 1), jnp.float32)
+    with pytest.raises(ValueError, match="4-channel"):
+        loss.get_mask_loss(mask_gt, dec_rgb, mask2d)
+
+
+def test_mask_loss_disabled_returns_zeros(loss_setup):
+    loss = make_loss()  # use_mask_loss default False
+    z, w = loss.get_mask_loss(None, jnp.zeros((B, S, S, 3)), jnp.ones((B, S, S, 1)))
+    assert float(z) == 0.0 and float(w) == 0.0
