@@ -414,3 +414,89 @@ def test_pose_encoder_parity(rng):
         PoseEncoderSpatialVAE(num_classes=11).apply({"params": params}, jnp.asarray(z))
     )
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_lpips_parity_synthetic_weights(rng, tmp_path):
+    """LPIPS architecture parity vs a spec-built torch LPIPS (taming's
+    ScalingLayer + VGG16 feature taps + 1x1 no-bias lin heads, ref
+    contperceptual.py:143-145) with SYNTHETIC weights routed through the
+    exact tools/convert_lpips.py layout. Pretrained weights are unavailable
+    in this environment (no egress); this pins the architecture + converter
+    so dropping in the real vgg16/vgg.pth checkpoints is weight-load-only."""
+    from generative_detection_tpu.models.lpips import LPIPS, load_lpips_weights
+
+    # torch VGG16 feature extractor from the spec (conv plan + tap points)
+    plan = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M", 512, 512, 512, "M",
+            512, 512, 512]
+    layers, convs = [], []
+    cin = 3
+    for item in plan:
+        if item == "M":
+            layers.append(tnn.MaxPool2d(2, 2))
+        else:
+            conv = tnn.Conv2d(cin, item, 3, padding=1)
+            convs.append(conv)
+            layers.append(conv)
+            layers.append(tnn.ReLU())
+            cin = item
+    features = tnn.Sequential(*layers)
+    tap_after_conv = (2, 4, 7, 10, 13)
+    tap_channels = (64, 128, 256, 512, 512)
+    lins = [tnn.Conv2d(c, 1, 1, bias=False) for c in tap_channels]
+    torch.manual_seed(3)
+    for m in convs + lins:
+        tnn.init.normal_(m.weight, std=0.05)
+        if m.bias is not None:
+            tnn.init.normal_(m.bias, std=0.05)
+
+    shift = torch.tensor([-0.030, -0.088, -0.188]).view(1, 3, 1, 1)
+    scale = torch.tensor([0.458, 0.448, 0.450]).view(1, 3, 1, 1)
+
+    def t_norm_tensor(x, eps=1e-10):
+        n = torch.sqrt(torch.sum(x ** 2, dim=1, keepdim=True))
+        return x / (n + eps)
+
+    def torch_lpips(a, b):
+        taps_a, taps_b = [], []
+        for inp, taps in ((a, taps_a), (b, taps_b)):
+            h = (inp - shift) / scale
+            ci = 0
+            for lay in features:
+                h = lay(h)
+                if isinstance(lay, tnn.Conv2d):
+                    ci += 1
+                elif isinstance(lay, tnn.ReLU) and ci in tap_after_conv:
+                    taps.append(h)
+        total = 0.0
+        for i, (ta, tb) in enumerate(zip(taps_a, taps_b)):
+            d = (t_norm_tensor(ta) - t_norm_tensor(tb)) ** 2
+            total = total + lins[i](d).mean(dim=(2, 3), keepdim=True)
+        return total
+
+    x = rng.normal(size=(2, 32, 32, 3)).astype(np.float32) * 0.5
+    y = rng.normal(size=(2, 32, 32, 3)).astype(np.float32) * 0.5
+    with torch.no_grad():
+        want = torch_lpips(
+            torch.from_numpy(nchw(x)), torch.from_numpy(nchw(y))
+        ).numpy()
+
+    # export through the converter's .npz layout
+    def t2f(w):
+        return np.transpose(w.detach().numpy(), (2, 3, 1, 0))
+
+    flat = {}
+    for i, conv in enumerate(convs, start=1):
+        flat[f"vgg/conv{i}/kernel"] = t2f(conv.weight)
+        flat[f"vgg/conv{i}/bias"] = conv.bias.detach().numpy()
+    for i, lin in enumerate(lins):
+        flat[f"lin{i}/kernel"] = t2f(lin.weight)
+    npz = tmp_path / "lpips_synthetic.npz"
+    np.savez(npz, **flat)
+
+    model = LPIPS()
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(y)
+    )["params"]
+    params = load_lpips_weights(params, str(npz))
+    got = np.asarray(model.apply({"params": params}, jnp.asarray(x), jnp.asarray(y)))
+    np.testing.assert_allclose(got.reshape(-1), want.reshape(-1), rtol=1e-4, atol=1e-5)
