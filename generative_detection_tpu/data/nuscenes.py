@@ -81,6 +81,7 @@ class NuScenesBase:
         h_minmax_dir: str = "dataset_stats/combined",
         ann_file: Optional[str] = None,
         seed: Optional[int] = None,
+        device_preprocess: bool = False,
         **_ignored,  # mmdet3d kwargs (pipeline, modality, box_type_3d, ...)
     ):
         self.data_root = data_root
@@ -103,6 +104,13 @@ class NuScenesBase:
         self.hmin_dict, self.hmax_dict = self._load_h_minmax(h_minmax_dir)
         self.num_cameras = len(CAMERA_NAMES)
         self._rng = np.random.default_rng(seed)
+        # device_preprocess: the host ships RAW uint8 crops (padded into a
+        # fixed max(PATCH_SIZES) buffer) + the mask rectangle; resize /
+        # normalize / mask rasterization run on-device inside the step's jit
+        # (ops.resize.batched_crop_resize + ops.resize.bbox_mask; the
+        # BASELINE "jit preprocessing" stage). Crops larger than the buffer
+        # (rare close-ups) are pre-shrunk to the buffer size on host.
+        self.device_preprocess = device_preprocess
 
     @staticmethod
     def _load_h_minmax(h_minmax_dir: str) -> Tuple[Dict, Dict]:
@@ -164,6 +172,19 @@ class NuScenesBase:
         out_w, out_h = self.patch_size[1], self.patch_size[0]
         resampling_factor = out_w / box_size
         bbox_in_crop = (bbox[0] - px1, bbox[1] - py1, bbox[2] - px1, bbox[3] - py1)
+        padding_pixels_early = max(int(width) - int(height), 0)
+
+        if self.device_preprocess:
+            raw = self._materialize_raw(img, px1, py1, box_size, bbox_in_crop)
+            if raw is None:
+                return None
+            return (
+                raw,  # dict of raw-device fields instead of a float patch
+                float(box_size),
+                resampling_factor,
+                padding_pixels_early * resampling_factor,
+                None,
+            )
 
         from . import native
 
@@ -201,6 +222,53 @@ class NuScenesBase:
             padding_resampled,
             mask_np,
         )
+
+    def _materialize_raw(self, img, px1, py1, box_size, bbox_in_crop):
+        """Device-preprocess crop materialization: a raw uint8 square crop
+        padded into a fixed ``max(PATCH_SIZES)`` buffer plus the mask
+        rectangle — the device finishes resize/normalize/mask inside jit
+        (ops.resize.batched_crop_resize / bbox_mask). Crops larger than the
+        buffer are pre-shrunk on host (two-stage resampling, rare close-ups).
+        Out-of-frame pixels stay 0 (PIL crop semantics)."""
+        buf_size = max(PATCH_SIZES)
+        if img.mode != "RGB":
+            img = img.convert("RGB")
+        arr = np.asarray(img, np.uint8)
+        imh, imw = arr.shape[:2]
+        if box_size > buf_size:
+            from . import native
+
+            shrunk = native.crop_resize_bilinear(
+                arr, px1, py1, box_size, buf_size, buf_size
+            )
+            if shrunk is None:
+                from PIL import Image
+
+                pil = img.crop((px1, py1, px1 + box_size, py1 + box_size)).resize(
+                    (buf_size, buf_size), resample=Image.Resampling.BILINEAR
+                )
+                shrunk = np.asarray(pil, np.float32) / 255.0
+            raw = np.clip(shrunk * 255.0 + 0.5, 0, 255).astype(np.uint8)
+            scale = buf_size / box_size
+            bic = np.asarray([v * scale for v in bbox_in_crop], np.float32)
+            src_size = float(buf_size)
+        else:
+            raw = np.zeros((buf_size, buf_size, 3), np.uint8)
+            sx1, sy1 = max(px1, 0), max(py1, 0)
+            sx2 = min(px1 + box_size, imw)
+            sy2 = min(py1 + box_size, imh)
+            if sx2 > sx1 and sy2 > sy1:
+                raw[sy1 - py1 : sy2 - py1, sx1 - px1 : sx2 - px1] = arr[
+                    sy1:sy2, sx1:sx2
+                ]
+            bic = np.asarray(bbox_in_crop, np.float32)
+            src_size = float(box_size)
+        return {
+            "patch_raw": raw,
+            "patch_src_size": np.float32(src_size),
+            "bbox_in_crop": bic,
+            "patch_out_size": np.int32(self.patch_size[0]),
+        }
 
     # -- pose label math (ref _get_pose_6d_lhw, nuscenes.py:244-332) ------------
 
@@ -333,8 +401,12 @@ class NuScenesBase:
         pose_pert = pose_6d.copy()
         pose_pert[3] = v3_pert
 
+        image_fields = (
+            dict(patch) if isinstance(patch, dict)  # device-preprocess raw crop
+            else {"patch": patch, "mask_2d_bbox": mask}
+        )
         return {
-            "patch": patch,
+            **image_fields,
             "class_id": self.label_id2class_id[label_id],
             "original_class_id": label_id,
             "class_name": label_name,
@@ -344,7 +416,6 @@ class NuScenesBase:
             "yaw_perturbed": np.float32(yaw_pert),
             "pose_6d_perturbed": pose_pert,
             "fill_factor": np.float32(fill_factor),
-            "mask_2d_bbox": mask,
             "patch_size": np.asarray([[patch_size_px, patch_size_px]], np.float32),
             "patch_center_2d": np.asarray(center_2d, np.float32),
             "resampling_factor": np.float32(resampling),
@@ -377,14 +448,30 @@ class NuScenesBase:
             return None
         out_w, out_h = self.patch_size[1], self.patch_size[0]
         orig_size = crop.size
-        crop = crop.resize((out_w, out_h), resample=Image.Resampling.BILINEAR)
-        patch = np.asarray(crop, dtype=np.float32) / 255.0
-        if patch.ndim == 2:
-            patch = np.repeat(patch[..., None], 3, -1)
-        patch = patch[..., :3]
+        if self.device_preprocess:
+            buf_size = max(PATCH_SIZES)
+            raw = np.zeros((buf_size, buf_size, 3), np.uint8)
+            arr = np.asarray(crop.convert("RGB"), np.uint8)
+            raw[: arr.shape[0], : arr.shape[1]] = arr
+            image_fields = {
+                "patch_raw": raw,
+                "patch_src_size": np.float32(orig_size[0]),
+                "bbox_in_crop": np.zeros(4, np.float32),  # empty mask rect
+                "patch_out_size": np.int32(out_h),
+            }
+        else:
+            crop = crop.resize((out_w, out_h), resample=Image.Resampling.BILINEAR)
+            patch = np.asarray(crop, dtype=np.float32) / 255.0
+            if patch.ndim == 2:
+                patch = np.repeat(patch[..., None], 3, -1)
+            patch = patch[..., :3]
+            image_fields = {
+                "patch": patch,
+                "mask_2d_bbox": np.zeros((out_h, out_w, 1), np.float32),
+            }
         bg_id = LABEL_NAME2ID["background"]
         return {
-            "patch": patch,
+            **image_fields,
             "class_id": self.label_id2class_id[bg_id],
             "original_class_id": bg_id,
             "class_name": "background",
@@ -394,7 +481,6 @@ class NuScenesBase:
             "yaw_perturbed": np.float32(0.0),
             "pose_6d_perturbed": np.zeros(POSE_DIM, np.float32),
             "fill_factor": np.float32(0.0),
-            "mask_2d_bbox": np.zeros((out_h, out_w, 1), np.float32),
             "patch_size": np.asarray([[out_h, out_w]], np.float32),
             "patch_center_2d": np.asarray([out_h // 2, out_w // 2], np.float32),
             "resampling_factor": np.float32(out_w / orig_size[0]),

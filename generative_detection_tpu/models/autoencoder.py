@@ -452,13 +452,33 @@ class PoseAutoencoder(_WrapperBase):
         return x
 
     def prepare_batch(self, batch) -> Dict[str, jnp.ndarray]:
-        """Map a host batch dict into loss-ready device arrays (NHWC)."""
-        rgb = jnp.asarray(batch[self.image_rgb_key], jnp.float32)
-        if rgb.ndim == 4 and rgb.shape[1] == 3 and rgb.shape[-1] != 3:
-            rgb = jnp.transpose(rgb, (0, 2, 3, 1))  # NCHW -> NHWC
-        mask = jnp.asarray(batch["mask_2d_bbox"], jnp.float32)
-        if mask.ndim == 4 and mask.shape[1] == 1 and mask.shape[-1] != 1:
-            mask = jnp.transpose(mask, (0, 2, 3, 1))
+        """Map a host batch dict into loss-ready device arrays (NHWC).
+
+        Two image contracts:
+        - host-preprocessed: float ``patch`` in [0,1] + ``mask_2d_bbox``;
+        - device-preprocess (``dataset.device_preprocess: true``): raw uint8
+          ``patch_raw`` crops + mask rects — resize/normalize/mask run here
+          inside jit (ops.resize; the BASELINE "jit preprocessing" stage), so
+          the host never touches float pixels.
+        """
+        if "patch_raw" in batch:
+            from ..ops import batched_crop_resize, bbox_mask
+
+            out_size = int(np.asarray(batch["patch_out_size"]).ravel()[0])
+            raw = jnp.asarray(batch["patch_raw"])  # (B, S, S, 3) uint8
+            src = jnp.asarray(batch["patch_src_size"], jnp.float32)  # (B,)
+            centers = jnp.stack([src / 2.0, src / 2.0], axis=-1)
+            rgb = batched_crop_resize(raw, centers, src, out_size=out_size)
+            mask = bbox_mask(
+                jnp.asarray(batch["bbox_in_crop"], jnp.float32), src, out_size
+            )
+        else:
+            rgb = jnp.asarray(batch[self.image_rgb_key], jnp.float32)
+            if rgb.ndim == 4 and rgb.shape[1] == 3 and rgb.shape[-1] != 3:
+                rgb = jnp.transpose(rgb, (0, 2, 3, 1))  # NCHW -> NHWC
+            mask = jnp.asarray(batch["mask_2d_bbox"], jnp.float32)
+            if mask.ndim == 4 and mask.shape[1] == 1 and mask.shape[-1] != 1:
+                mask = jnp.transpose(mask, (0, 2, 3, 1))
         return {
             "rgb_gt": rescale_minmax(rgb),
             "pose_gt": self.get_pose_input(batch),

@@ -99,6 +99,26 @@ def batched_crop_resize(
     return jax.vmap(one)(frames_f, centers.astype(jnp.float32), sizes.astype(jnp.float32))
 
 
+@functools.partial(jax.jit, static_argnames=("out_size",))
+def bbox_mask(
+    bbox_in_crop: jnp.ndarray,  # (B, 4) x1,y1,x2,y2 in source-crop pixels
+    sizes: jnp.ndarray,  # (B,) square source-crop sizes in pixels
+    out_size: int = 256,
+) -> jnp.ndarray:
+    """Batched 2D-bbox mask rasterization at the output resolution — the
+    device twin of ``native/patchops.cpp::bbox_mask_resize`` (rect drawn at
+    crop resolution, NEAREST-resampled: out pixel i samples source pixel
+    floor((i+0.5)*size/out); negative rect coords clamp to 0). Returns
+    (B, out_size, out_size, 1) float32 in {0, 1}."""
+    scale = sizes.astype(jnp.float32) / out_size  # (B,)
+    coords = jnp.arange(out_size, dtype=jnp.float32) + 0.5  # (out,)
+    s = jnp.floor(coords[None, :] * scale[:, None]).astype(jnp.int32)  # (B, out)
+    b = jnp.maximum(bbox_in_crop, 0.0).astype(jnp.int32)  # trunc == C++ (int) cast
+    in_x = (s >= b[:, 0:1]) & (s < b[:, 2:3])  # (B, out)
+    in_y = (s >= b[:, 1:2]) & (s < b[:, 3:4])
+    return (in_y[:, :, None] & in_x[:, None, :]).astype(jnp.float32)[..., None]
+
+
 @functools.partial(jax.jit, static_argnames=("out_h", "out_w"))
 def resize_nearest(img: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
     """Nearest-neighbor resize of (..., H, W, C) images (PIL NEAREST)."""

@@ -51,15 +51,30 @@ def test_native_max_iou(native_lib):
     assert got == pytest.approx(1.0)
 
 
-def _fake_infos(tmp_path, n_samples=3):
-    """Minimal mmdet3d-style nuscenes info pkl + camera JPEGs."""
+def _fake_infos(tmp_path, n_samples=3, smooth=False):
+    """Minimal mmdet3d-style nuscenes info pkl + camera JPEGs.
+
+    smooth=True renders band-limited gradients instead of per-pixel noise —
+    needed when comparing resampling filters (point-bilinear vs triangle
+    legitimately diverge on white noise)."""
     rng = np.random.default_rng(5)
     cam = "CAM_FRONT"
     os.makedirs(tmp_path / "samples" / cam, exist_ok=True)
     data_list = []
     for s in range(n_samples):
         fname = f"img_{s}.jpg"
-        img = (rng.uniform(0, 255, size=(900, 1600, 3))).astype(np.uint8)
+        if smooth:
+            yy, xx = np.mgrid[0:900, 0:1600].astype(np.float32)
+            img = np.stack(
+                [
+                    127 + 100 * np.sin(xx / 97.0 + s) * np.cos(yy / 83.0),
+                    127 + 100 * np.cos(xx / 61.0) * np.sin(yy / 127.0 + s),
+                    (xx + yy) % 256,
+                ],
+                axis=-1,
+            ).astype(np.uint8)
+        else:
+            img = (rng.uniform(0, 255, size=(900, 1600, 3))).astype(np.uint8)
         Image.fromarray(img).save(tmp_path / "samples" / cam / fname)
         cam2img = [[1266.0, 0.0, 800.0], [0.0, 1266.0, 450.0], [0.0, 0.0, 1.0]]
         inst = {
@@ -158,3 +173,98 @@ def test_pose_label_yaw_roundtrip():
     assert pose.shape == (4,)
     np.testing.assert_allclose(pose[3], -0.7, atol=1e-4)
     np.testing.assert_allclose(sizes, [2.5, 1.6, 1.1875], rtol=1e-5)
+
+
+def test_device_preprocess_pipeline(tmp_path):
+    """device_preprocess=True: the host ships raw uint8 crops + mask rects;
+    prepare_batch finishes resize/normalize/mask on-device inside jit (the
+    BASELINE "jit preprocessing" stage). The mask must match the host C++
+    rasterizer exactly; RGB agrees up to resampling-filter differences
+    (device = point bilinear, host = triangle filter)."""
+    from generative_detection_tpu.data.nuscenes import NuScenesTrain
+    from generative_detection_tpu.data.datamodule import collate
+
+    root = _fake_infos(tmp_path, smooth=True)
+    kw = dict(
+        data_root=str(root),
+        label_names=["car", "background"],
+        patch_height=64,
+        negative_sample_prob=0.0,
+        seed=0,
+    )
+    ds_dev = NuScenesTrain(device_preprocess=True, **kw)
+    ds_host = NuScenesTrain(**kw)
+
+    item = ds_dev[0]
+    assert item["patch_raw"].dtype == np.uint8
+    assert item["patch_raw"].shape == (400, 400, 3)
+    assert "patch" not in item and "mask_2d_bbox" not in item
+    assert item["patch_src_size"] > 0
+
+    batch = collate([ds_dev[i] for i in (0, 6)])  # two different samples
+    host_items = [ds_host[i] for i in (0, 6)]
+
+    import jax
+    from generative_detection_tpu.config import load_yaml, instantiate_from_config
+
+    cfg = load_yaml("configs/autoencoder/pose/tiny_cpu.yaml")
+    model = instantiate_from_config(cfg["model"])
+    prepared = model.prepare_batch(batch)
+    assert prepared["rgb_gt"].shape == (2, 64, 64, 3)
+    assert prepared["mask_2d_bbox"].shape == (2, 64, 64, 1)
+
+    # mask: exact vs the host rasterizer (same floor((i+.5)*scale) formula)
+    got_mask = np.asarray(prepared["mask_2d_bbox"])
+    want_mask = np.stack([it["mask_2d_bbox"] for it in host_items])
+    np.testing.assert_array_equal(got_mask, want_mask)
+
+    # rgb: [-1, 1] and close to the host path up to filter differences
+    rgb = np.asarray(prepared["rgb_gt"])
+    assert rgb.min() >= -1.0 - 1e-5 and rgb.max() <= 1.0 + 1e-5
+    from generative_detection_tpu.models.autoencoder import rescale_minmax
+    import jax.numpy as jnp
+
+    want_rgb = np.asarray(
+        rescale_minmax(jnp.asarray(np.stack([it["patch"] for it in host_items])))
+    )
+    assert np.abs(rgb - want_rgb).mean() < 0.08
+
+
+def test_device_preprocess_background_branch(tmp_path):
+    from generative_detection_tpu.data.nuscenes import NuScenesTrain
+
+    root = _fake_infos(tmp_path)
+    ds = NuScenesTrain(
+        data_root=str(root),
+        label_names=["car", "background"],
+        patch_height=64,
+        negative_sample_prob=1.0,  # force background branch
+        seed=0,
+        device_preprocess=True,
+    )
+    item = ds[0]
+    assert item["class_name"] == "background"
+    assert item["patch_raw"].shape == (400, 400, 3)
+    np.testing.assert_array_equal(item["bbox_in_crop"], np.zeros(4, np.float32))
+
+
+def test_device_bbox_mask_matches_native(rng):
+    """ops.resize.bbox_mask mirrors native/patchops.cpp::bbox_mask_resize."""
+    from generative_detection_tpu.data import native as native_mod
+    from generative_detection_tpu.ops import bbox_mask
+    import jax.numpy as jnp
+
+    lib = native_mod.load_lib()
+    if lib is None:
+        pytest.skip("native patchops unavailable")
+    cases = [
+        (64, (16.0, 16.0, 48.0, 48.0)),
+        (100, (-10.0, 5.5, 60.0, 99.0)),
+        (37, (0.0, 0.0, 37.0, 37.0)),
+    ]
+    sizes = np.asarray([c[0] for c in cases], np.float32)
+    rects = np.asarray([c[1] for c in cases], np.float32)
+    got = np.asarray(bbox_mask(jnp.asarray(rects), jnp.asarray(sizes), 32))
+    for i, (size, rect) in enumerate(cases):
+        want = native_mod.bbox_mask(size, rect, 32, 32)[..., None]
+        np.testing.assert_array_equal(got[i], want)
