@@ -46,6 +46,8 @@ class _Loader:
         seed: int = 23,
         prefetch: int = 4,
         drop_last: bool = True,
+        shard_id: int = 0,
+        num_shards: int = 1,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -54,11 +56,19 @@ class _Loader:
         self.seed = seed
         self.prefetch = prefetch
         self.drop_last = drop_last
+        # Multi-host: each process reads a disjoint strided slice of the same
+        # seed-shared global order (torch DistributedSampler analogue; the
+        # reference gets this from Lightning DDP, ref train.py:162).
+        self.shard_id = shard_id
+        self.num_shards = max(num_shards, 1)
         self._epoch = 0
 
+    def _local_len(self) -> int:
+        return len(range(self.shard_id, len(self.dataset), self.num_shards))
+
     def __len__(self):
-        n = len(self.dataset) // self.batch_size
-        if not self.drop_last and len(self.dataset) % self.batch_size:
+        n = self._local_len() // self.batch_size
+        if not self.drop_last and self._local_len() % self.batch_size:
             n += 1
         return n
 
@@ -66,6 +76,8 @@ class _Loader:
         order = np.arange(len(self.dataset))
         if self.shuffle:
             np.random.default_rng((self.seed, self._epoch)).shuffle(order)
+        if self.num_shards > 1:
+            order = order[self.shard_id :: self.num_shards]
         self._epoch += 1
         batches = [
             order[i : i + self.batch_size]
@@ -160,13 +172,27 @@ class DataModuleFromConfig:
         if self.wrap:
             self.datasets = {k: WrappedDataset(v) for k, v in self.datasets.items()}
 
+    def _parallel_context(self):
+        """(shard_id, num_shards) from the JAX distributed runtime — one data
+        shard per process so multi-host runs never duplicate items. Lazily
+        imported; single-process (the common case) is (0, 1)."""
+        try:
+            import jax
+
+            return jax.process_index(), jax.process_count()
+        except Exception:  # noqa: BLE001 — jax not initialized yet
+            return 0, 1
+
     def _loader(self, split: str, shuffle: bool) -> _Loader:
+        shard_id, num_shards = self._parallel_context()
         return _Loader(
             self.datasets[split],
             batch_size=self.batch_size,
             shuffle=shuffle,
             num_workers=self.num_workers,
             seed=self.seed,
+            shard_id=shard_id,
+            num_shards=num_shards,
         )
 
     def train_dataloader(self):

@@ -50,8 +50,21 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis: str = "data"):
-    """Device-put a host batch dict with the batch dim sharded over ``axis``."""
+    """Device-put a host batch dict with the batch dim sharded over ``axis``.
+
+    Multi-process (multi-host) runs: each process passes its LOCAL shard of
+    the global batch and the pieces are assembled into one global array
+    (the DDP per-rank batch contract, ref train.py:162). Single-process runs
+    device_put the whole batch directly.
+    """
     sharding = batch_sharding(mesh, axis)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)
+            ),
+            batch,
+        )
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 

@@ -58,6 +58,8 @@ class SetupCallback(Callback):
         self.lightning_config = lightning_config or {}
 
     def on_fit_start(self, trainer) -> None:
+        if not getattr(trainer, "is_main_process", True):
+            return  # non-rank-0 processes write no run dirs (ref callbacks.py:67-76)
         for d in (self.logdir, self.ckptdir, self.cfgdir):
             os.makedirs(d, exist_ok=True)
         from ..config import to_plain
@@ -116,6 +118,8 @@ class ImageLogger(Callback):
         return step % self.batch_freq == 0 or step in self.log_steps
 
     def _log(self, trainer, batch, split: str) -> None:
+        if not getattr(trainer, "is_main_process", True):
+            return  # rank-0-only image I/O (ref callbacks.py:128,140)
         step = trainer.global_batch()
         images = trainer.log_images(batch, max_images=self.max_images)
         if not images:

@@ -28,6 +28,14 @@ from flax import serialization
 from .state import TrainState
 
 
+# NOTE on multi-host: orbax checkpoint operations are COLLECTIVE — every
+# process must call save/restore (orbax gates the actual writes to the
+# primary host internally and synchronizes). Gating the call itself on
+# process 0 deadlocks the cluster (rank 0 waits in orbax's barrier forever).
+# The checkpoint directory must be on a shared filesystem in multi-host runs,
+# exactly like the reference's SLURM setup (ref README.md:58).
+
+
 def _state_to_pytree(state: TrainState) -> dict:
     return serialization.to_state_dict(state)
 
@@ -64,6 +72,21 @@ class CheckpointManager:
                 max_to_keep=1, create=True, enable_async_checkpointing=False
             ),
         )
+        self._trainstep: Optional[ocp.CheckpointManager] = None
+
+    def save_trainstep(self, step: int, state: TrainState) -> None:
+        """Every-N-steps checkpoint stream into ``trainstep_checkpoints/``,
+        keeping all (ref train.py:309-325 metrics_over_trainsteps_checkpoint:
+        save_top_k=-1, every_n_train_steps)."""
+        if self._trainstep is None:
+            self._trainstep = ocp.CheckpointManager(
+                os.path.join(self.ckptdir, "trainstep_checkpoints"),
+                options=ocp.CheckpointManagerOptions(
+                    max_to_keep=None, create=True, enable_async_checkpointing=False
+                ),
+            )
+        self._trainstep.save(step, args=ocp.args.StandardSave(_state_to_pytree(state)))
+        self._trainstep.wait_until_finished()
 
     def save_best(self, step: int, state: TrainState, metrics: dict) -> None:
         if self.monitor and self.monitor not in metrics:
@@ -100,12 +123,18 @@ class CheckpointManager:
     def close(self):
         self._best.close()
         self._last.close()
+        if self._trainstep is not None:
+            self._trainstep.close()
 
 
 def save_on_signal(
     save_fn: Callable[[], None], signals=(signal.SIGUSR1, signal.SIGTERM)
 ) -> None:
-    """Install 'melk' checkpoint-on-signal handlers (ref train.py:475-488)."""
+    """Install 'melk' checkpoint-on-signal handlers (ref train.py:475-488).
+
+    Multi-host: the checkpoint save is collective, so the signal must reach
+    EVERY process (SLURM's scancel/timeout signaling does; a manual kill of
+    one rank would stall in the save barrier until the others arrive)."""
 
     def handler(signum, frame):
         logging.info("Summoning checkpoint (signal %s).", signum)

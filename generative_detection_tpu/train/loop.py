@@ -146,6 +146,29 @@ class Trainer:
             accumulate_grad_batches=self.accumulate_grad_batches,
         )
         self._opt_ae, self._opt_disc = opt_ae, opt_disc
+        family = getattr(self.model, "step_family", "pose")
+        if family == "plain":  # ldm AutoencoderKL models (ref autoencoder.py:29-32)
+            from .steps import make_plain_eval_step, make_plain_train_step
+
+            plain = jax.jit(
+                make_plain_train_step(
+                    self.model,
+                    opt_ae,
+                    opt_disc,
+                    step_counting=self.step_counting,
+                    accumulate_grad_batches=self.accumulate_grad_batches,
+                ),
+                donate_argnums=(0,),
+            )
+            self._train_fns = {"pretrain": plain, "full": plain}
+            self._eval_fn = jax.jit(
+                make_plain_eval_step(
+                    self.model,
+                    step_counting=self.step_counting,
+                    accumulate_grad_batches=self.accumulate_grad_batches,
+                )
+            )
+            return
         self._train_fns = {
             phase: jax.jit(
                 make_train_step(
@@ -222,6 +245,8 @@ class Trainer:
         would dispatch op-by-op, which is very slow on remote backends)."""
         if "fwd" not in self._image_fns:
             m = self.model
+            # forward-only net: fused gn+conv Pallas kernels, same params
+            inet = m.inference_net() if hasattr(m, "inference_net") else m.net
 
             @jax.jit
             def fwd(params, x, step, key):
@@ -230,17 +255,17 @@ class Trainer:
                     "dropout": jax.random.fold_in(key, 1),
                     "noise": jax.random.fold_in(key, 2),
                 }
-                outs = m.net.apply({"params": params}, x, step, rngs=rngs)
+                outs = inet.apply({"params": params}, x, step, rngs=rngs)
                 return outs["dec_obj"], outs["dec_pose"]
 
             @jax.jit
             def fwd_pert(params, x, pose_pert, key):
-                return m.net.apply(
+                return inet.apply(
                     {"params": params},
                     x,
                     pose_pert,
                     rngs={"sample": jax.random.fold_in(key, 3)},
-                    method=m.net.perturbed_pose_forward,
+                    method=inet.perturbed_pose_forward,
                 )
 
             self._image_fns = {"fwd": fwd, "fwd_pert": fwd_pert}
@@ -250,6 +275,20 @@ class Trainer:
         """ref autoencoder.py:397-432: inputs / recon / perturbed-pose recon."""
         if self.state is None:
             return {}
+        if getattr(self.model, "step_family", "pose") == "plain":
+            m = self.model
+            inet = m.inference_net() if hasattr(m, "inference_net") else m.net
+            x = prepared_batch["image"][:max_images]
+            key = jax.random.fold_in(
+                jax.random.PRNGKey(self.seed + 7), self.global_batch()
+            )
+            outs = jax.jit(
+                lambda p, x: inet.apply({"params": p}, x, rngs={"sample": key})
+            )(self.state.net_params, x)
+            return {
+                "inputs": np.asarray(x),
+                "reconstructions": np.asarray(outs["dec_obj"]),
+            }
         fns = self._image_fwd_fns()
         x = prepared_batch["rgb_gt"][:max_images]
         step = jnp.asarray(

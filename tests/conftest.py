@@ -21,6 +21,14 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
+# Persistent compilation cache: the suite re-compiles the same fused train
+# step / backbone graphs every run (tens of minutes of XLA:CPU compiles);
+# cache hits cut reruns to seconds. Override with JAX_COMPILATION_CACHE_DIR.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/gdt_jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 assert jax.devices()[0].platform == "cpu"
 
 import numpy as np  # noqa: E402

@@ -138,6 +138,22 @@ def main():
         # NaN/inf provenance, the reference's autograd detect_anomaly analogue
         # (ref configs/...yaml:138; SURVEY §5.2)
         jax.config.update("jax_debug_nans", True)
+
+    # Multi-host: join the JAX distributed runtime BEFORE any device query
+    # (the SLURM/DDP analogue, ref README.md:58, train.py:162). Env-driven
+    # (TPU metadata / JAX_COORDINATOR_ADDRESS); a no-op on single hosts.
+    # Each process then loads its own data shard (datamodule) and feeds its
+    # local slice of the global batch (parallel.shard_batch); run-dir,
+    # checkpoint, metric, and image I/O are all gated on process 0.
+    from generative_detection_tpu.parallel.multihost import (
+        initialize as _mh_init,
+        is_main_process,
+    )
+
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "GDT_MULTIHOST", "0"
+    ) == "1":
+        _mh_init()
     ndevices = opt.devices or len(jax.devices())
 
     # model (ref train.py:445)
