@@ -68,6 +68,14 @@ TARGET_ALIASES: dict[str, str] = {
         "generative_detection_tpu.train.callbacks.CheckpointCallback",
     "pytorch_lightning.loggers.TensorBoardLogger":
         "generative_detection_tpu.train.metrics.MetricsLogger",
+    # the reference's logger choice (ref train.py:190-213) also offers wandb
+    # and the legacy "testtube" logger; both alias onto the JSONL+TB logger —
+    # wandb itself is not packaged offline (point WANDB-style dashboards at
+    # the JSONL/TensorBoard output instead)
+    "pytorch_lightning.loggers.WandbLogger":
+        "generative_detection_tpu.train.metrics.MetricsLogger",
+    "pytorch_lightning.loggers.TestTubeLogger":
+        "generative_detection_tpu.train.metrics.MetricsLogger",
 }
 
 

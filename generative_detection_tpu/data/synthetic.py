@@ -260,3 +260,22 @@ class SyntheticPatchValidation(SyntheticPatchBase):
 
 class SyntheticPatchTest(SyntheticPatchBase):
     split_seed = 2
+
+
+class SyntheticImageBase(SyntheticPatchBase):
+    """Plain-image variant for the ldm ``Autoencoder`` family: yields
+    ``{'image': (H, W, 3) float32 in [-1, 1]}`` (ldm dataset contract that
+    the reference's base class ``get_input`` assumes)."""
+
+    def __getitem__(self, idx: int) -> Dict:
+        rng = np.random.default_rng((self.seed, idx, 7))
+        img, _ = self._render_patch(rng, with_object=rng.random() > 0.5)
+        return {"image": (2.0 * img - 1.0).astype(np.float32)}
+
+
+class SyntheticImageTrain(SyntheticImageBase):
+    split_seed = 0
+
+
+class SyntheticImageValidation(SyntheticImageBase):
+    split_seed = 1

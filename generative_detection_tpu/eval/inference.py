@@ -36,16 +36,18 @@ def pose_inference(model, net_params, rgb, sample_posterior: bool = False, rng=N
     default (deterministic detector)."""
     if rng is None:
         rng = jax.random.PRNGKey(0)
+    # forward-only net: fused gn+conv Pallas kernels, identical params
+    net = model.inference_net() if hasattr(model, "inference_net") else model.net
 
     def fn(x):
-        posterior_obj, pose_feat = model.net.apply(
-            {"params": net_params}, x, method=model.net.encode
+        posterior_obj, pose_feat = net.apply(
+            {"params": net_params}, x, method=net.encode
         )
-        dec_pose, bbox_posterior = model.net.apply(
+        dec_pose, bbox_posterior = net.apply(
             {"params": net_params},
             pose_feat,
             sample_posterior,
-            method=model.net._decode_pose,
+            method=net._decode_pose,
             rngs={"sample": rng},
         )
         return dec_pose, posterior_obj, bbox_posterior

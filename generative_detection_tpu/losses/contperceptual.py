@@ -582,6 +582,7 @@ class LPIPSWithDiscriminator(nn.Module):
             log = {
                 f"{split}/total_loss": loss,
                 f"{split}/nll_loss": nll,
+                f"{split}/rec_loss": jnp.mean(rec),  # monitored key (ldm logs it)
                 f"{split}/kl_loss": kl,
                 f"{split}/g_loss": g,
                 f"{split}/logvar": self.logvar,

@@ -55,10 +55,11 @@ class AutoencoderKLNet(nn.Module):
     ddconfig: Dict[str, Any]
     embed_dim: int
     dtype: Any = jnp.float32
+    fuse: bool = False  # fused gn+conv kernels (forward-only/inference nets)
 
     def setup(self):
-        self.encoder = Encoder(self.ddconfig, dtype=self.dtype)
-        self.decoder = Decoder(self.ddconfig, dtype=self.dtype)
+        self.encoder = Encoder(self.ddconfig, dtype=self.dtype, fuse=self.fuse)
+        self.decoder = Decoder(self.ddconfig, dtype=self.dtype, fuse=self.fuse)
         self.quant_conv = nn.Conv(2 * self.embed_dim, (1, 1), dtype=self.dtype)
         self.post_quant_conv = nn.Conv(
             self.ddconfig["z_channels"], (1, 1), dtype=self.dtype
@@ -99,10 +100,11 @@ class PoseAutoencoderNet(nn.Module):
     encoder_pretrain_steps: int = 0
     add_noise_to_z_obj: bool = True
     dtype: Any = jnp.float32
+    fuse: bool = False  # fused gn+conv kernels (forward-only/inference nets)
 
     def setup(self):
-        self.encoder = Encoder(self.ddconfig, dtype=self.dtype)
-        self.decoder = Decoder(self.ddconfig, dtype=self.dtype)
+        self.encoder = Encoder(self.ddconfig, dtype=self.dtype, fuse=self.fuse)
+        self.decoder = Decoder(self.ddconfig, dtype=self.dtype, fuse=self.fuse)
         # 1x1 quant convs (ref autoencoder.py:88-90)
         self.quant_conv_obj = nn.Conv(2 * self.embed_dim, (1, 1), dtype=self.dtype)
         self.quant_conv_pose = nn.Conv(self.embed_dim, (1, 1), dtype=self.dtype)
@@ -260,9 +262,41 @@ class _WrapperBase:
 
     monitor: Optional[str] = None
     learning_rate: float = 4.5e-6
+    # which fused train/eval step family the Trainer builds for this model:
+    # "pose" (PoseAutoencoder curriculum step) or "plain" (ldm AutoencoderKL)
+    step_family: str = "pose"
 
     def init_variables(self, rng: jax.Array, batch_size: int = 1):
         raise NotImplementedError
+
+    def inference_net(self):
+        """Net used by forward-only paths (eval / serving / image logging).
+
+        ``GDT_FUSE_INFERENCE=1`` returns a clone with the fused
+        GN+SiLU+conv3x3 Pallas kernels (same parameter tree). Measured on
+        v5e: the fused kernel wins ISOLATED per-shape A/B (1.3-2x at
+        256^2/128^2) but LOSES composed into the full decoder (~0.6x) — XLA's
+        cross-op fusion absorbs the GN into neighboring convs, while the
+        kernel adds per-block stats passes and launch overhead. Kept as an
+        opt-in for future tuning; default is the XLA lowering
+        (docs/BENCH.md round-2 notes)."""
+        import os
+
+        if os.environ.get("GDT_FUSE_INFERENCE", "0") == "1":
+            return self.net.clone(fuse=True)
+        return self.net
+
+    @staticmethod
+    def _warm_kernel_dispatch() -> None:
+        """Resolve Pallas availability EAGERLY (outside any jit trace) —
+        the probe cannot run while module code is being traced, and an
+        unwarmed dispatch would silently fall back to XLA kernels there."""
+        from ..ops.dispatch import pallas_enabled
+
+        try:
+            pallas_enabled()
+        except Exception:  # noqa: BLE001 — probing must never break init
+            pass
 
 
 class PoseAutoencoder(_WrapperBase):
@@ -327,6 +361,7 @@ class PoseAutoencoder(_WrapperBase):
         self.encoder_pretrain_steps = loss_params.get("encoder_pretrain_steps", 0)
         self.num_classes = loss_params.get("num_classes", 11)
 
+        self._warm_kernel_dispatch()
         self.net = PoseAutoencoderNet(
             ddconfig=dict(ddconfig),
             embed_dim=embed_dim,
@@ -502,7 +537,14 @@ def rescale_minmax(x: jnp.ndarray) -> jnp.ndarray:
 
 
 class Autoencoder(_WrapperBase):
-    """Plain KL autoencoder wrapper (ref ``Autoencoder``, autoencoder.py:29-32)."""
+    """Plain KL autoencoder wrapper (ref ``Autoencoder``, autoencoder.py:29-32).
+
+    Runs end-to-end through the same Trainer/CLI as the pose model: the
+    Trainer dispatches on ``step_family`` to the plain fused train step and
+    the ``{'image': (B,H,W,C) in [-1,1]}`` batch contract."""
+
+    step_family = "plain"
+    encoder_pretrain_steps = 0  # no curriculum: always the 'full' phase
 
     def __init__(
         self,
@@ -522,6 +564,7 @@ class Autoencoder(_WrapperBase):
         self.embed_dim = embed_dim
         self.compute_dtype = _resolve_dtype(dtype)
         self.ddconfig = dict(ddconfig)
+        self._warm_kernel_dispatch()
         self.net = AutoencoderKLNet(
             ddconfig=dict(ddconfig), embed_dim=embed_dim, dtype=self.compute_dtype
         )
@@ -530,6 +573,23 @@ class Autoencoder(_WrapperBase):
         )
         self.ckpt_path = ckpt_path
         self.ignore_keys = tuple(ignore_keys)
+
+    def example_batch(self, batch_size: int = 1) -> Dict[str, np.ndarray]:
+        res = self.ddconfig.get("resolution", 256)
+        return {
+            self.image_key: np.zeros(
+                (batch_size, res, res, self.ddconfig["in_channels"]), np.float32
+            )
+        }
+
+    def prepare_batch(self, batch) -> Dict[str, jnp.ndarray]:
+        """ldm ``get_input`` semantics (ref autoencoder.py:296 via the base
+        class): dataset provides images already in [-1, 1]; accept NCHW or
+        NHWC and emit NHWC."""
+        img = jnp.asarray(batch[self.image_key], jnp.float32)
+        if img.ndim == 4 and img.shape[1] in (1, 3) and img.shape[-1] not in (1, 3):
+            img = jnp.transpose(img, (0, 2, 3, 1))
+        return {"image": img}
 
     def init_variables(self, rng: jax.Array, batch_size: int = 1):
         res = self.ddconfig.get("resolution", 256)

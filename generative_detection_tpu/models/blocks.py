@@ -26,10 +26,12 @@ from __future__ import annotations
 
 from typing import Any, Dict
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops import group_norm, single_head_attention
+from ..ops.fused_conv import fused_eligible, gn_silu_conv
 
 
 class GroupNormSiLU(nn.Module):
@@ -40,29 +42,84 @@ class GroupNormSiLU(nn.Module):
     act: str | None = "silu"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, *, return_params: bool = False):
         c = x.shape[-1]
         gamma = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         beta = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        if return_params:  # fused gn+conv path consumes the affine directly
+            return gamma, beta
         return group_norm(
             x, gamma, beta, num_groups=self.num_groups, eps=self.eps, act=self.act
         )
+
+
+class Conv3x3(nn.Module):
+    """3x3 SAME conv with the exact ``nn.Conv`` parameter layout/init, plus an
+    optional fused-GroupNorm-SiLU input path (``ops.gn_silu_conv``)."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, gn_affine=None) -> jnp.ndarray:
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, cin, self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        if gn_affine is not None:
+            gamma, beta = gn_affine
+            return gn_silu_conv(x, gamma, beta, kernel, bias)
+        out = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            (1, 1),
+            "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        return out + bias.astype(out.dtype)
 
 
 class ResnetBlock(nn.Module):
     out_channels: int
     dropout: float = 0.0
     dtype: Any = jnp.float32
+    # fuse=True routes norm+conv pairs through the fused Pallas kernel — the
+    # forward-only/inference configuration (its backward rematerializes; the
+    # training path keeps the XLA composite, whose conv operand-fusion is
+    # already near-optimal with a saved activation).
+    fuse: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
         in_ch = x.shape[-1]
-        h = GroupNormSiLU(name="norm1")(x)
-        h = nn.Conv(self.out_channels, (3, 3), padding="SAME", dtype=self.dtype, name="conv1")(h)
-        h = GroupNormSiLU(name="norm2")(h)
-        if self.dropout > 0.0:
-            h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        h = nn.Conv(self.out_channels, (3, 3), padding="SAME", dtype=self.dtype, name="conv2")(h)
+        norm1 = GroupNormSiLU(name="norm1")
+        conv1 = Conv3x3(self.out_channels, dtype=self.dtype, name="conv1")
+        norm2 = GroupNormSiLU(name="norm2")
+        conv2 = Conv3x3(self.out_channels, dtype=self.dtype, name="conv2")
+
+        fuse1 = self.fuse and fused_eligible(x.shape, self.out_channels, self.dtype)
+        if fuse1:
+            h = conv1(x, gn_affine=norm1(x, return_params=True))
+        else:
+            h = conv1(norm1(x))
+
+        can_fuse2 = self.dropout == 0.0 or deterministic  # dropout sits between
+        fuse2 = (
+            self.fuse
+            and can_fuse2
+            and fused_eligible(h.shape, self.out_channels, self.dtype)
+        )
+        if fuse2:
+            h = conv2(h, gn_affine=norm2(h, return_params=True))
+        else:
+            h = norm2(h)
+            if self.dropout > 0.0:
+                h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+            h = conv2(h)
         if in_ch != self.out_channels:
             x = nn.Conv(self.out_channels, (1, 1), dtype=self.dtype, name="nin_shortcut")(x)
         return x + h
@@ -127,6 +184,7 @@ class Encoder(nn.Module):
 
     ddconfig: Dict[str, Any]
     dtype: Any = jnp.float32
+    fuse: bool = False  # fused gn+conv kernels (forward-only paths)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
@@ -146,6 +204,7 @@ class Encoder(nn.Module):
                     block_out,
                     dropout=cfg["dropout"],
                     dtype=self.dtype,
+                    fuse=self.fuse,
                     name=f"down_{i_level}_block_{i_block}",
                 )(h, deterministic=deterministic)
                 if curr_res in cfg["attn_resolutions"]:
@@ -154,11 +213,11 @@ class Encoder(nn.Module):
                 h = Downsample(dtype=self.dtype, name=f"down_{i_level}_downsample")(h)
                 curr_res //= 2
 
-        h = ResnetBlock(h.shape[-1], dropout=cfg["dropout"], dtype=self.dtype, name="mid_block_1")(
+        h = ResnetBlock(h.shape[-1], dropout=cfg["dropout"], dtype=self.dtype, fuse=self.fuse, name="mid_block_1")(
             h, deterministic=deterministic
         )
         h = AttnBlock(dtype=self.dtype, name="mid_attn_1")(h)
-        h = ResnetBlock(h.shape[-1], dropout=cfg["dropout"], dtype=self.dtype, name="mid_block_2")(
+        h = ResnetBlock(h.shape[-1], dropout=cfg["dropout"], dtype=self.dtype, fuse=self.fuse, name="mid_block_2")(
             h, deterministic=deterministic
         )
 
@@ -175,6 +234,7 @@ class Decoder(nn.Module):
 
     ddconfig: Dict[str, Any]
     dtype: Any = jnp.float32
+    fuse: bool = False  # fused gn+conv kernels (forward-only paths)
 
     @nn.compact
     def __call__(
@@ -193,11 +253,11 @@ class Decoder(nn.Module):
         h = nn.Conv(block_in, (3, 3), padding="SAME", dtype=self.dtype, name="conv_in")(
             z.astype(self.dtype)
         )
-        h = ResnetBlock(block_in, dropout=cfg["dropout"], dtype=self.dtype, name="mid_block_1")(
+        h = ResnetBlock(block_in, dropout=cfg["dropout"], dtype=self.dtype, fuse=self.fuse, name="mid_block_1")(
             h, deterministic=deterministic
         )
         h = AttnBlock(dtype=self.dtype, name="mid_attn_1")(h)
-        h = ResnetBlock(block_in, dropout=cfg["dropout"], dtype=self.dtype, name="mid_block_2")(
+        h = ResnetBlock(block_in, dropout=cfg["dropout"], dtype=self.dtype, fuse=self.fuse, name="mid_block_2")(
             h, deterministic=deterministic
         )
 
@@ -208,6 +268,7 @@ class Decoder(nn.Module):
                     block_out,
                     dropout=cfg["dropout"],
                     dtype=self.dtype,
+                    fuse=self.fuse,
                     name=f"up_{i_level}_block_{i_block}",
                 )(h, deterministic=deterministic)
                 if curr_res in cfg["attn_resolutions"]:

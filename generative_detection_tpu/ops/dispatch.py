@@ -25,7 +25,7 @@ def _probe(timeout_s: int = 240) -> bool:
     import jax.numpy as jnp
     import numpy as np
 
-    def run():
+    def run_inner():
         # Compile the ACTUAL production kernels on small shapes. Compile
         # requests may be load-balanced over several (possibly broken) remote
         # workers, so probing a toy kernel is not predictive; the real
@@ -45,6 +45,8 @@ def _probe(timeout_s: int = 240) -> bool:
         a_got = _attention_pallas(q, q, q)
         a_want = _attention_reference(q, q, q)
         return float(jnp.max(jnp.abs(a_got - a_want))) <= 2e-2
+
+    run = run_inner
 
     if hasattr(signal, "SIGALRM"):
         def _on_alarm(signum, frame):
@@ -78,10 +80,7 @@ _PROBE_CACHE_PATH = os.environ.get(
 _PROBE_CACHE_TTL_S = 600.0
 
 
-def _cached_probe() -> bool:
-    """Probe with a cross-process TTL cache: a hung compile service makes the
-    probe cost minutes, and every fresh process (train, eval, bench, tests)
-    would pay it again otherwise."""
+def _read_fresh_cache():
     import json
     import time
 
@@ -92,6 +91,19 @@ def _cached_probe() -> bool:
             return bool(entry["ok"])
     except Exception:  # noqa: BLE001 — missing/corrupt cache
         pass
+    return None
+
+
+def _cached_probe() -> bool:
+    """Probe with a cross-process TTL cache: a hung compile service makes the
+    probe cost minutes, and every fresh process (train, eval, bench, tests)
+    would pay it again otherwise."""
+    import json
+    import time
+
+    cached = _read_fresh_cache()
+    if cached is not None:
+        return cached
     ok = _probe()
     try:
         with open(_PROBE_CACHE_PATH, "w") as f:
@@ -115,6 +127,25 @@ def pallas_enabled() -> bool:
     if mode == "1":
         return True
     if _PALLAS_OK is None:
+        from jax._src import core as _jax_core
+
+        if not _jax_core.trace_state_clean():
+            # First asked from INSIDE a jit trace (module code being traced):
+            # running device probes here is unsafe (tracer leaks / remote
+            # compile under tracing). Use a fresh file-cache answer if one
+            # exists; otherwise fall back to XLA for THIS trace only, without
+            # poisoning the process or file cache. Model wrappers warm the
+            # probe eagerly at construction so this path is rare.
+            cached = _read_fresh_cache()
+            if cached is None:
+                logging.warning(
+                    "pallas_enabled() first called inside a jit trace; using "
+                    "XLA fallbacks for this computation. Call pallas_enabled() "
+                    "eagerly at startup to enable Pallas kernels."
+                )
+                return False
+            _PALLAS_OK = cached
+            return _PALLAS_OK
         _PALLAS_OK = _cached_probe()
         logging.info("Pallas availability probe: %s", _PALLAS_OK)
     return _PALLAS_OK

@@ -31,15 +31,21 @@ def make_detector_fn(model, net_params, hmin_table, hmax_table, patch_out: int =
     captured as constants by design here (the artifact must be
     self-contained); for in-process use prefer passing params as arguments."""
 
+    # forward-only net: fused gn+conv Pallas kernels, identical params.
+    # NOTE: the serving artifact is exported as portable StableHLO, so keep
+    # the XLA lowering there (Pallas custom calls are backend-pinned) unless
+    # serving on the same TPU generation.
+    net = model.net
+
     def detect(rgb, focal, principal_point, patch_size, patch_center, resampling):
-        posterior, pose_feat = model.net.apply(
-            {"params": net_params}, rgb, method=model.net.encode
+        posterior, pose_feat = net.apply(
+            {"params": net_params}, rgb, method=net.encode
         )
-        dec_pose, _ = model.net.apply(
+        dec_pose, _ = net.apply(
             {"params": net_params},
             pose_feat,
             False,  # mode path: deterministic detector
-            method=model.net._decode_pose,
+            method=net._decode_pose,
             rngs={"sample": jax.random.PRNGKey(0)},
         )
         rec = recover_boxes(

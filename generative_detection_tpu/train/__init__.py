@@ -1,5 +1,10 @@
 from .state import TrainState, create_train_state, make_optimizers
-from .steps import make_train_step, make_eval_step, make_plain_train_step
+from .steps import (
+    make_train_step,
+    make_eval_step,
+    make_plain_train_step,
+    make_plain_eval_step,
+)
 
 __all__ = [
     "TrainState",
@@ -8,4 +13,5 @@ __all__ = [
     "make_train_step",
     "make_eval_step",
     "make_plain_train_step",
+    "make_plain_eval_step",
 ]

@@ -262,6 +262,7 @@ def make_plain_train_step(
     opt_ae,
     opt_disc,
     step_counting: str = "optimizer",
+    accumulate_grad_batches: int = 1,
 ) -> Callable:
     """Fused train step for the plain ``Autoencoder`` family (ldm
     AutoencoderKL semantics: NLL+LPIPS + KL + PatchGAN; ref
@@ -270,11 +271,13 @@ def make_plain_train_step(
     net, loss = model.net, model.loss
     disc_weight_cfg = loss.disc_weight
     disc_factor_cfg = loss.disc_factor
+    accum = max(int(accumulate_grad_batches), 1)
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         step = state.step
-        step_g, step_d = _global_steps(step, step_counting)
-        rngs = {"sample": jax.random.fold_in(jax.random.fold_in(state.rng, step), 0)}
+        opt_step = step // accum if accum > 1 else step
+        step_g, step_d = _global_steps(opt_step, step_counting)
+        rngs = {"sample": jax.random.fold_in(jax.random.fold_in(state.rng, opt_step), 0)}
         x = batch["image"]
         loss_params = state.loss_params
 
@@ -350,6 +353,49 @@ def make_plain_train_step(
         )
 
     return train_step
+
+
+def make_plain_eval_step(
+    model,
+    step_counting: str = "optimizer",
+    split: str = "val",
+    accumulate_grad_batches: int = 1,
+) -> Callable:
+    """Validation step for the plain ``Autoencoder`` family: forward + both
+    loss passes for logging only, d_weight = 0 (ldm AutoencoderKL
+    validation_step semantics)."""
+    net, loss = model.net, model.loss
+    accum = max(int(accumulate_grad_batches), 1)
+
+    def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray], eval_rng):
+        step_g, step_d = _global_steps(state.step // accum, step_counting)
+        x = batch["image"]
+        rngs = {"sample": jax.random.fold_in(eval_rng, state.step)}
+        outs = net.apply({"params": state.net_params}, x, rngs=rngs)
+        _, log_ae = loss.apply(
+            {"params": state.loss_params},
+            x,
+            outs["dec_obj"],
+            outs["posterior_obj"],
+            0,
+            step_g,
+            d_weight=0.0,
+            split=split,
+        )
+        _, log_disc = loss.apply(
+            {"params": state.loss_params},
+            x,
+            jax.lax.stop_gradient(outs["dec_obj"]),
+            outs["posterior_obj"],
+            1,
+            step_d,
+            split=split,
+        )
+        metrics = dict(log_ae)
+        metrics.update(log_disc)
+        return metrics
+
+    return eval_step
 
 
 def make_eval_step(

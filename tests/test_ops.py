@@ -184,3 +184,62 @@ def test_batched_crop_resize_device_pipeline(rng):
     # second crop extends out of frame -> zero-padded top-left
     assert out[1, 0, 0].max() == 0.0
     assert np.isfinite(out).all()
+
+
+def test_gn_silu_conv_fused_matches_reference(rng):
+    """ops.gn_silu_conv Pallas kernel vs the XLA composite (interpret mode),
+    values + all five gradients, both vjp variants."""
+    import os
+
+    os.environ["GDT_PALLAS_INTERPRET"] = "1"
+    try:
+        from generative_detection_tpu.ops.fused_conv import (
+            gn_silu_conv,
+            gn_silu_conv_reference,
+        )
+
+        x = jnp.asarray(rng.normal(size=(2, 16, 16, 128)).astype(np.float32))
+        gamma = jnp.asarray(rng.normal(size=(128,)).astype(np.float32))
+        beta = jnp.asarray(rng.normal(size=(128,)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(3, 3, 128, 256)).astype(np.float32) * 0.05)
+        bias = jnp.asarray(rng.normal(size=(256,)).astype(np.float32))
+
+        want = gn_silu_conv_reference(x, gamma, beta, w, bias)
+        for save_act in (False, True):
+            got = gn_silu_conv(
+                x, gamma, beta, w, bias, use_pallas=True, save_activation=save_act
+            )
+            np.testing.assert_allclose(
+                np.asarray(got), np.asarray(want), rtol=1e-4, atol=1e-4
+            )
+
+            def loss(fn):
+                return jax.grad(
+                    lambda *a: jnp.sum(fn(*a) ** 2), argnums=(0, 1, 2, 3, 4)
+                )
+
+            gp = loss(
+                lambda *a: gn_silu_conv(*a, use_pallas=True, save_activation=save_act)
+            )(x, gamma, beta, w, bias)
+            gr = loss(gn_silu_conv_reference)(x, gamma, beta, w, bias)
+            for a, b in zip(gp, gr):
+                scale = float(jnp.max(jnp.abs(b))) + 1e-9
+                assert float(jnp.max(jnp.abs(a - b))) / scale < 1e-5
+    finally:
+        os.environ.pop("GDT_PALLAS_INTERPRET", None)
+
+
+def test_resnet_block_fuse_param_compatible(rng):
+    """fuse=True/False ResnetBlocks share one parameter tree and agree
+    numerically (XLA composite fallback on CPU)."""
+    from generative_detection_tpu.models.blocks import ResnetBlock
+
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 64)).astype(np.float32))
+    b0 = ResnetBlock(64, fuse=False)
+    b1 = ResnetBlock(64, fuse=True)
+    params = b0.init(jax.random.PRNGKey(0), x)["params"]
+    p1 = b1.init(jax.random.PRNGKey(0), x)["params"]
+    assert jax.tree_util.tree_structure(params) == jax.tree_util.tree_structure(p1)
+    a = b0.apply({"params": params}, x)
+    b = b1.apply({"params": params}, x)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)

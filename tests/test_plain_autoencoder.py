@@ -58,3 +58,50 @@ def test_plain_train_step(setup, rng):
     state10 = state.replace(step=jnp.asarray(10, jnp.int32))
     _, m10 = fn(state10, batch)
     assert float(m10["train/d_weight"]) > 0.0
+
+
+def test_plain_autoencoder_trainer_fit_cli_config(tmp_path):
+    """Plain Autoencoder end-to-end via the Trainer + shipped config — the
+    reference's `Autoencoder` model class is runnable, not just a net
+    (ref src/models/autoencoder.py:29-32; train.py -b plain_kl_tiny.yaml -t)."""
+    import json
+    import os
+
+    from generative_detection_tpu.config import load_yaml, instantiate_from_config
+    from generative_detection_tpu.train.loop import Trainer
+    from generative_detection_tpu.train.metrics import MetricsLogger
+    from generative_detection_tpu.train.callbacks import ImageLogger, SetupCallback
+
+    cfg = load_yaml("configs/autoencoder/plain_kl_tiny.yaml")
+    model = instantiate_from_config(cfg["model"])
+    model.learning_rate = 1e-4
+    data = instantiate_from_config(cfg["data"])
+    data.setup()
+    batch = next(iter(data.train_dataloader()))
+    assert batch["image"].shape == (8, 32, 32, 3)
+
+    logdir = str(tmp_path / "plain_run")
+    logger = MetricsLogger(save_dir=logdir)
+    trainer = Trainer(
+        model,
+        logdir=logdir,
+        max_epochs=2,
+        max_steps=3,
+        limit_val_batches=1,
+        callbacks=[
+            SetupCallback(logdir=logdir, config=cfg),
+            ImageLogger(batch_frequency=2, max_images=2),
+        ],
+        logger=logger,
+        log_every_n_steps=1,
+        step_counting="batch",
+    )
+    trainer.fit(data)
+    assert trainer.global_batch() >= 3
+    rows = [json.loads(l) for l in open(logger.path)]
+    assert any("aeloss" in r and np.isfinite(r["aeloss"]) for r in rows)
+    assert any("val/rec_loss" in r for r in rows)
+    assert os.path.isdir(os.path.join(logdir, "checkpoints", "last"))
+    img_root = os.path.join(logdir, "images", "train")
+    assert os.path.isdir(img_root) and len(os.listdir(img_root)) > 0
+    logger.close()
