@@ -344,6 +344,32 @@ class PoseLoss(nn.Module):
         g_loss = -jnp.mean(logits_fake)
         return nll, w_nll, g_loss, jnp.mean(rec)
 
+    def nll_terms(
+        self, rgb_gt, dec_obj, class_gt, mask_2d_bbox, global_step, weights=None
+    ):
+        """Reconstruction-NLL scalars only (no discriminator): ``(nll,
+        weighted_nll, rec_mean)``. Split from ``rec_gan_terms`` so the
+        adaptive-weight vjp for ``nll`` backprops through pixel+LPIPS ONLY —
+        pulling it through the joint graph pays a dead discriminator
+        backward (and vice versa for ``g_term``)."""
+        mask_bg = self._mask_bg(class_gt)
+        use_pixel = global_step >= (
+            self.encoder_pretrain_steps + self.pose_conditioned_generation_steps
+        )
+        inputs_rgb = rgb_gt * mask_2d_bbox
+        recons_rgb = dec_obj * mask_2d_bbox
+        rec = self._get_rec_loss(inputs_rgb, recons_rgb, use_pixel)
+        nll, w_nll = self._get_nll_loss(rec, mask_bg, weights)
+        return nll, w_nll, jnp.mean(rec)
+
+    def g_term(self, dec_obj, class_gt, mask_2d_bbox):
+        """Generator GAN scalar only (one discriminator forward)."""
+        mask_bg = self._mask_bg(class_gt)
+        recons_rgb = dec_obj * mask_2d_bbox
+        logits_fake = self.discriminator(recons_rgb, train=True)
+        logits_fake = logits_fake * mask_bg.reshape(-1, 1, 1, 1)
+        return -jnp.mean(logits_fake)
+
     def nll_g_pair(self, rgb_gt, dec_obj, class_gt, mask_2d_bbox, global_step):
         nll, _, g, _ = self.rec_gan_terms(
             rgb_gt, dec_obj, class_gt, mask_2d_bbox, global_step

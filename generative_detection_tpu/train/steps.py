@@ -138,7 +138,12 @@ def make_train_step(
                 terms = (z, z, z, z)
                 d_weight = z
             else:
-                def rec_terms_fn(yy):
+                # SPLIT vjps: nll depends on pixel+LPIPS only, g_loss on the
+                # discriminator only. One joint vjp would drag each cotangent
+                # through BOTH subgraphs (a dead LPIPS backward for g and a
+                # dead discriminator backward for nll — ~an extra full LPIPS
+                # backward per step). Primals are reused in the total loss.
+                def nll_fn(yy):
                     return loss.apply(
                         {"params": loss_params},
                         rgb,
@@ -146,13 +151,23 @@ def make_train_step(
                         batch["class_gt"],
                         batch["mask_2d_bbox"],
                         step_g,
-                        method=loss.rec_gan_terms,
+                        method=loss.nll_terms,
                     )
 
-                terms, vjp = jax.vjp(rec_terms_fn, y)
-                zeros = (jnp.zeros(()),) * 4
-                gy_nll = vjp((jnp.ones(()),) + zeros[1:])[0]
-                gy_g = vjp(zeros[:2] + (jnp.ones(()),) + zeros[3:])[0]
+                def g_fn(yy):
+                    return loss.apply(
+                        {"params": loss_params},
+                        yy,
+                        batch["class_gt"],
+                        batch["mask_2d_bbox"],
+                        method=loss.g_term,
+                    )
+
+                (nll, w_nll, rec_mean), vjp_nll = jax.vjp(nll_fn, y)
+                g_loss, vjp_g = jax.vjp(g_fn, y)
+                terms = (nll, w_nll, g_loss, rec_mean)
+                gy_nll = vjp_nll((jnp.ones(()), jnp.zeros(()), jnp.zeros(())))[0]
+                gy_g = vjp_g(jnp.ones(()))[0]
                 g_nll_w, g_g_w = _conv_out_kernel_grads(
                     net_params, outs["pre_out"], (gy_nll, gy_g)
                 )
