@@ -88,9 +88,10 @@ class NuScenesBase:
         self.img_root = os.path.join(data_root, "sweeps" if is_sweep else "samples")
         if ann_file is not None:
             self.ann_file = ann_file
-        with open(os.path.join(data_root, self.ann_file), "rb") as f:
+        ann_path = os.path.join(data_root, self.ann_file)
+        with open(ann_path, "rb") as f:
             infos = pickle.load(f)
-        self.data_list = infos["data_list"] if isinstance(infos, dict) else infos
+        self.data_list = self._validate_infos(infos, ann_path)
 
         self.label_names = list(label_names)
         self.label_ids = [LABEL_NAME2ID[n] for n in self.label_names]
@@ -111,6 +112,62 @@ class NuScenesBase:
         # BASELINE "jit preprocessing" stage). Crops larger than the buffer
         # (rare close-ups) are pre-shrunk to the buffer size on host.
         self.device_preprocess = device_preprocess
+
+    @staticmethod
+    def _validate_infos(infos, ann_path: str):
+        """Accept the mmdet3d >=1.1 info-pkl layouts and fail LOUDLY on
+        anything else (the reference consumes the v1.1+ schema via
+        mmdet3d.NuScenesDataset, ref nuscenes.py:458-469):
+
+        - ``{"metainfo": {...}, "data_list": [...]}`` (the standard writer);
+        - a bare ``[...]`` list of per-sample dicts (some custom exports).
+
+        Each entry must carry ``images[CAM_X]{img_path, cam2img}`` and
+        ``cam_instances``. The pre-1.1 schema (``{"infos": ...}``, per-sample
+        ``cams``/``gt_boxes``) is detected and rejected with a pointer to the
+        mmdet3d update script rather than failing deep in the loader.
+        """
+        if isinstance(infos, dict):
+            if "infos" in infos and "data_list" not in infos:
+                raise ValueError(
+                    f"{ann_path}: pre-1.1 mmdet3d info-pkl layout "
+                    "('infos' key, per-sample 'cams'). Regenerate with "
+                    "mmdet3d >= 1.1 (tools/dataset_converters/update_infos_to_v2.py) "
+                    "— this reader consumes the v1.1+ "
+                    "{'metainfo', 'data_list'} schema."
+                )
+            if "data_list" not in infos:
+                raise ValueError(
+                    f"{ann_path}: unrecognized info-pkl dict layout "
+                    f"(keys: {sorted(infos.keys())[:8]}); expected "
+                    "{'metainfo', 'data_list'}."
+                )
+            data_list = infos["data_list"]
+        elif isinstance(infos, list):
+            data_list = infos
+        else:
+            raise ValueError(
+                f"{ann_path}: expected a dict or list info-pkl, got "
+                f"{type(infos).__name__}."
+            )
+        if data_list:
+            first = data_list[0]
+            if not isinstance(first, dict) or "images" not in first:
+                have = sorted(first.keys())[:10] if isinstance(first, dict) else type(first).__name__
+                raise ValueError(
+                    f"{ann_path}: data_list entries lack the 'images' camera "
+                    f"table (got {have}); this reader needs the mmdet3d "
+                    "v1.1+ frame-based layout (images[CAM_X] + cam_instances)."
+                )
+            if "cam_instances" not in first:
+                raise ValueError(
+                    f"{ann_path}: data_list entries lack 'cam_instances' — "
+                    "regenerate the pkl with camera instances "
+                    "(mmdet3d create_data with --with-cam-instances / "
+                    "frame-based loading, ref configs use "
+                    "load_type='frame_based')."
+                )
+        return data_list
 
     @staticmethod
     def _load_h_minmax(h_minmax_dir: str) -> Tuple[Dict, Dict]:
