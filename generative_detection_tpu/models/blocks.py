@@ -125,6 +125,29 @@ class ResnetBlock(nn.Module):
         return x + h
 
 
+class Conv1x1(nn.Module):
+    """1x1 conv with the exact ``nn.Conv`` parameter layout/init; can expose
+    its params so callers fuse several projections into one matmul."""
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, params_only: bool = False):
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (1, 1, cin, self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        if params_only:
+            return kernel, bias
+        out = jnp.einsum(
+            "...c,cd->...d", x.astype(self.dtype), kernel[0, 0].astype(self.dtype)
+        )
+        return out + bias.astype(out.dtype)
+
+
 class AttnBlock(nn.Module):
     dtype: Any = jnp.float32
 
@@ -132,11 +155,21 @@ class AttnBlock(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, h, w, c = x.shape
         y = GroupNormSiLU(act=None, name="norm")(x)
-        q = nn.Conv(c, (1, 1), dtype=self.dtype, name="q")(y).reshape(b, h * w, c)
-        k = nn.Conv(c, (1, 1), dtype=self.dtype, name="k")(y).reshape(b, h * w, c)
-        v = nn.Conv(c, (1, 1), dtype=self.dtype, name="v")(y).reshape(b, h * w, c)
+        # fused QKV: one (C, 3C) matmul reads the normalized map ONCE instead
+        # of three 1x1 convs reading it three times (param tree unchanged:
+        # q/k/v keep their own kernel/bias leaves)
+        wq, bq = Conv1x1(c, dtype=self.dtype, name="q")(y, params_only=True)
+        wk, bk = Conv1x1(c, dtype=self.dtype, name="k")(y, params_only=True)
+        wv, bv = Conv1x1(c, dtype=self.dtype, name="v")(y, params_only=True)
+        w3 = jnp.concatenate([wq[0, 0], wk[0, 0], wv[0, 0]], axis=-1)  # (C, 3C)
+        b3 = jnp.concatenate([bq, bk, bv])
+        yt = y.reshape(b, h * w, c).astype(self.dtype)
+        qkv = jnp.einsum("blc,cd->bld", yt, w3.astype(self.dtype)) + b3.astype(
+            self.dtype
+        )
+        q, k, v = jnp.split(qkv, 3, axis=-1)
         o = single_head_attention(q, k, v).reshape(b, h, w, c)
-        o = nn.Conv(c, (1, 1), dtype=self.dtype, name="proj_out")(o)
+        o = Conv1x1(c, dtype=self.dtype, name="proj_out")(o)
         return x + o
 
 
