@@ -7,6 +7,10 @@ Runs batched crop -> encode -> pose-decode inference, recovers camera-frame
 per-patch detection metrics (center-distance matches, ATE/ASE/AOE, class
 accuracy). Data-parallel over all local devices.
 
+Scope: metrics are 1:1 PER PATCH (one GT and one prediction per patch),
+not set-based frame-level mAP/NDS — see eval/metrics.py for the precise
+matching semantics.
+
 Usage:
   python eval.py -b configs/autoencoder/pose/synthetic_smoke.yaml \
       [-r logs/run/checkpoints] [--split validation] [--limit 8]

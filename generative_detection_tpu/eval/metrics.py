@@ -5,6 +5,15 @@ reference's README metric tables are unreleased placeholders
 (ref README.md:83-87), so the concrete metric set here follows nuScenes
 conventions: center-distance match thresholds {0.5, 1, 2, 4} m, mean
 translation / size / orientation errors, and classification accuracy.
+
+SCOPE: matching is 1:1 PER PATCH — each patch carries exactly one ground
+truth and yields exactly one prediction, so "match@Xm" is the fraction of
+patches whose predicted center lands within X meters of its own ground
+truth. This is NOT set-based detection mAP over full frames (no cross-
+object assignment, no ranking by confidence, no duplicates/FPs): the
+model is a per-patch detector and the reference never shipped a frame-
+level evaluator to mirror. A frame-level nuScenes NDS/mAP harness would
+sit on top of `eval/inference.py::recover_boxes` outputs.
 """
 
 from __future__ import annotations

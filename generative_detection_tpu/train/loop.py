@@ -193,15 +193,33 @@ class Trainer:
             )
         )
 
+    @staticmethod
+    def _is_pallas_toolchain_error(e: Exception) -> bool:
+        """Match every observed Pallas-toolchain failure shape: remote
+        compile-service 500s, Mosaic lowering errors (their own exception
+        class), helper-subprocess crashes, and VMEM/lowering rejections —
+        NOT just JaxRuntimeError with one magic string (round-1 gap)."""
+        name = type(e).__name__
+        msg = str(e)
+        needles = (
+            "remote_compile",
+            "tpu_compile_helper",
+            "Mosaic",
+            "mosaic",
+            "pallas",
+            "Pallas",
+        )
+        return "Mosaic" in name or any(n in msg for n in needles)
+
     def _pallas_fallback(self, fn, *args, **kwargs):
         """Run ``fn`` with a one-shot Pallas->XLA rebuild on toolchain failure
         (kernel compile errors surface at the first execution of any jitted
         computation — including parameter init)."""
         try:
             return fn(*args, **kwargs)
-        except jax.errors.JaxRuntimeError as e:
-            msg = str(e)
-            if "remote_compile" in msg or "Mosaic" in msg or "mosaic" in msg:
+        except Exception as e:  # noqa: BLE001 — filtered just below
+            if self._is_pallas_toolchain_error(e):
+                msg = str(e)
                 logging.warning(
                     "Pallas kernel compilation failed; rebuilding with XLA "
                     "fallback kernels. (%s)",
