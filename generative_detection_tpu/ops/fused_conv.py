@@ -213,7 +213,7 @@ def _fused_pallas(x, a, b, w9, bias, tr, emit_z=False, interpret=False):
         out_shape=tuple(out_shape),
         grid=(bsz, h // tr),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM; manual DMA
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM; manual DMA
             pl.BlockSpec((1, 1, c), lambda bi, ti: (bi, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, c), lambda bi, ti: (bi, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # weights (9, C, CO)
