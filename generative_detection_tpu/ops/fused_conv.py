@@ -12,13 +12,21 @@ kernel removes the intermediate entirely:
    affine coefficients ``a, b`` so the kernel's normalize step is one fma;
 2. a Pallas kernel tiles the image over rows, DMAs each tile plus its 1-row
    halo from HBM, applies ``silu(x*a + b)`` in VMEM, and performs the 3x3
-   conv as 9 shifted (W, C) @ (C, CO) MXU matmuls per output row, writing
-   only the conv output back.
+   conv as 9 TILE-WIDE (tr*W, C) @ (C, CO) MXU matmuls, applying the +-1
+   column shifts to the matmul results via masked ``pltpu.roll`` (Mosaic
+   rejects sublane-misaligned DMA/reads), writing only the conv output back.
 
-Forward HBM traffic: 2 reads + 1 write of the feature map (vs 3R+2W
-unfused). The backward is the ``jax.vjp`` of the XLA reference composite —
-rematerializing the activation from x + saved stats instead of storing it
-(the cheaper choice on TPU: one elementwise pass vs a write+read).
+Forward HBM traffic: 2 reads + 1 write of the feature map. Backward comes in
+two vjp variants: remat (vjp of the XLA composite) and saved-activation (the
+kernel also emits z; standard XLA backward).
+
+MEASURED VERDICT (v5e, bs16, docs/BENCH.md): the kernel wins isolated
+per-shape A/B forwards (1.3-2x at 256^2/128^2) but LOSES composed into the
+full backbone — XLA's conv operand-fusion already absorbs the normalize, so
+the unfused lowering has no extra HBM pass to save, while this kernel adds a
+separate stats reduction per conv and launch overhead. It is therefore
+OPT-IN (blocks' ``fuse`` flag / ``GDT_FUSE_INFERENCE=1``); the value kept
+here is the op itself, its tests, and the documented Mosaic constraints.
 
 Used for C % 128 == 0 shapes with row tiles that fit VMEM; everything else
 falls back to the unfused ops (``ops.group_norm`` + XLA conv).
@@ -94,10 +102,6 @@ def _pick_tile(h: int, w: int, c: int, co: int, itemsize: int) -> Optional[int]:
         if zs + qbuf + wts + out + zout <= _VMEM_BUDGET:
             return tr
     return None
-
-
-def _round8(n: int) -> int:
-    return ((n + 7) // 8) * 8
 
 
 def _fused_kernel(
