@@ -81,6 +81,9 @@ def build(bs: int, dtype: str):
 def run_bench(bs: int, dtype: str, steps: int):
     import jax
 
+    from generative_detection_tpu.ops.dispatch import pallas_enabled
+
+    sys.stderr.write(f"bench kernel path: pallas={pallas_enabled()}\n")
     mesh, state, step_fn, batch = build(bs, dtype)
     with mesh:
         # warmup / compile. NOTE: synchronization is via an explicit

@@ -29,6 +29,13 @@ def run(pallas):
     size = int(os.environ.get("GDT_COMPARE_SIZE", "128"))
     cfg["model"]["params"]["input_size"] = size
     cfg["model"]["params"]["dtype"] = "bfloat16"
+    if size != 256:
+        # keep the 16x16 latent the pose pathway requires: drop one
+        # downsample level per halving of the input size
+        import math
+        levels = int(math.log2(size // 16)) + 1
+        cfg["model"]["params"]["ddconfig"]["ch_mult"] = ([1, 1, 2, 2, 4])[-levels:]
+        cfg["model"]["params"]["ddconfig"]["resolution"] = size
     model = instantiate_from_config(cfg["model"])
     model.learning_rate = 2.16e-4
     opt_ae, opt_disc = make_optimizers(model.learning_rate)
