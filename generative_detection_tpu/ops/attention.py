@@ -134,8 +134,11 @@ def _attention_flash_lib(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.
     )
 
     b, l, c = q.shape
+    # tuned on v5e for the 4096x256 blocks (docs/BENCH.md): block_q beyond
+    # 512 fails to compile at d=256 (VMEM); block_k=1024 is ~5% faster than
+    # 512 in fwd+bwd
     bq = min(512, l)
-    bk = min(512, l)
+    bk = min(1024, l)
     sizes = BlockSizes(
         block_q=bq,
         block_k_major=bk,

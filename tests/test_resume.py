@@ -34,3 +34,36 @@ def test_trainer_resume_continues_step_counter(tmp_path):
     # resumed params differ from the first run's end only by further training
     w2 = np.asarray(jax.tree.leaves(t2.state.net_params)[0])
     assert w1.shape == w2.shape
+
+
+def test_every_n_train_steps_checkpoint_stream(tmp_path):
+    """CheckpointCallback.every_n_train_steps produces the keep-all
+    trainstep_checkpoints stream (ref train.py:309-325)."""
+    import os
+
+    from generative_detection_tpu.config import load_yaml, instantiate_from_config
+    from generative_detection_tpu.train.callbacks import CheckpointCallback
+    from generative_detection_tpu.train.loop import Trainer
+
+    cfg = load_yaml("configs/autoencoder/pose/tiny_cpu.yaml")
+    model = instantiate_from_config(cfg["model"])
+    model.learning_rate = 1e-4
+    data = instantiate_from_config(cfg["data"])
+    data.setup()
+
+    logdir = str(tmp_path / "run")
+    t = Trainer(
+        model,
+        logdir=logdir,
+        max_epochs=3,
+        max_steps=4,
+        limit_val_batches=1,
+        callbacks=[CheckpointCallback(every_n_train_steps=2)],
+        step_counting="batch",
+    )
+    assert t.every_n_train_steps == 2
+    t.fit(data)
+    stream = os.path.join(logdir, "checkpoints", "trainstep_checkpoints")
+    assert os.path.isdir(stream)
+    steps = sorted(int(d) for d in os.listdir(stream) if d.isdigit())
+    assert steps == [2, 4], steps
