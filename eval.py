@@ -101,6 +101,7 @@ def main():
 
     agg = {"psnr": [], "kl": []}
     all_pred, all_cls, all_gt, all_gtcls, all_fg = [], [], [], [], []
+    all_score = []
     step = jnp.asarray(10**9, jnp.int32)  # fully-trained phase gates
 
     loaders = {
@@ -146,6 +147,10 @@ def main():
         gtcls = np.asarray(batch["original_class_id"])
         all_gtcls.append(gtcls)
         all_fg.append(gtcls != 10)
+        # confidence for the set-based eval: sigmoid prob of the argmax class
+        # (focal-loss head semantics, ref contperceptual.py:176-181)
+        logits = np.asarray(dec_pose[:, 8:])
+        all_score.append(1.0 / (1.0 + np.exp(-np.max(logits, axis=-1))))
 
     results = {
         "split": split,
@@ -162,6 +167,42 @@ def main():
             np.concatenate(all_fg),
         )
     )
+
+    # set-based frame-level metrics (eval/detection.py). Patch datasets have
+    # no frame grouping in the batch stream, so each patch is its own frame
+    # (matching stays honest: a prediction can only match its frame's GT).
+    from generative_detection_tpu.eval import evaluate_detections
+
+    pred_np = np.concatenate(all_pred)
+    cls_np = np.concatenate(all_cls)
+    gt_np = np.concatenate(all_gt)
+    gtc_np = np.concatenate(all_gtcls)
+    fg_np = np.concatenate(all_fg)
+    score_np = np.concatenate(all_score)
+
+    def _sbox(frame, name, row, score=None):
+        d = {
+            "frame": int(frame),
+            "class_name": name,
+            "center": np.asarray([row[0], row[2]], np.float32),  # BEV (x, z)
+            "size": np.asarray(row[3:6], np.float32),
+            "yaw": float(row[6]),
+        }
+        if score is not None:
+            d["score"] = float(score)
+        return d
+
+    preds_set, gts_set = [], []
+    for f in range(pred_np.shape[0]):
+        cid = int(cls_np[f])
+        if 0 <= cid < len(LABEL_NAMES) and LABEL_NAMES[cid] != "background":
+            preds_set.append(_sbox(f, LABEL_NAMES[cid], pred_np[f], score_np[f]))
+        if fg_np[f]:
+            gts_set.append(_sbox(f, LABEL_NAMES[int(gtc_np[f])], gt_np[f]))
+    set_metrics = evaluate_detections(
+        preds_set, gts_set, [n for n in LABEL_NAMES if n != "background"]
+    )
+    results.update({f"set/{k}": v for k, v in set_metrics.items()})
     print(json.dumps(results, indent=2))
     if opt.out:
         with open(opt.out, "w") as f:
