@@ -25,6 +25,15 @@ def _probe(timeout_s: int = 240) -> bool:
     import jax.numpy as jnp
     import numpy as np
 
+    # Probe compiles go through the persistent executable cache: a warm cache
+    # answers in milliseconds regardless of remote-compile-service health (the
+    # round-2 failure mode was the probe itself timing out on a degraded
+    # service and silently demoting the whole run to XLA fallbacks).
+    from ..utils.runtime import enable_persistent_cache, persistent_cache_enabled
+
+    if not persistent_cache_enabled():
+        enable_persistent_cache()
+
     def run_inner():
         # Compile the ACTUAL production kernels on small shapes. Compile
         # requests may be load-balanced over several (possibly broken) remote
@@ -77,7 +86,12 @@ def interpret_mode() -> bool:
 _PROBE_CACHE_PATH = os.environ.get(
     "GDT_PALLAS_PROBE_CACHE", "/tmp/gdt_pallas_probe.json"
 )
-_PROBE_CACHE_TTL_S = 600.0
+# Asymmetric TTLs: a POSITIVE probe means the Pallas kernels compiled AND
+# matched their XLA references numerically — that verdict stays valid for the
+# life of the toolchain install, so keep it a day. A NEGATIVE probe usually
+# means a transient service outage; retry sooner.
+_PROBE_CACHE_TTL_OK_S = 86400.0
+_PROBE_CACHE_TTL_FAIL_S = 600.0
 
 
 def _read_fresh_cache():
@@ -87,11 +101,26 @@ def _read_fresh_cache():
     try:
         with open(_PROBE_CACHE_PATH) as f:
             entry = json.load(f)
-        if time.time() - entry["time"] < _PROBE_CACHE_TTL_S:
+        ttl = _PROBE_CACHE_TTL_OK_S if entry["ok"] else _PROBE_CACHE_TTL_FAIL_S
+        if time.time() - entry["time"] < ttl:
             return bool(entry["ok"])
     except Exception:  # noqa: BLE001 — missing/corrupt cache
         pass
     return None
+
+
+def reset_probe(clear_file_cache: bool = True) -> None:
+    """Forget this process's probe verdict (and optionally the cross-process
+    file cache) so the next ``pallas_enabled()`` re-probes. Used by bench.py
+    to retry the Pallas path after an XLA-fallback run instead of accepting a
+    transient probe timeout as the number of record."""
+    global _PALLAS_OK
+    _PALLAS_OK = None
+    if clear_file_cache:
+        try:
+            os.unlink(_PROBE_CACHE_PATH)
+        except OSError:
+            pass
 
 
 def _cached_probe() -> bool:
@@ -127,9 +156,13 @@ def pallas_enabled() -> bool:
     if mode == "1":
         return True
     if _PALLAS_OK is None:
-        from jax._src import core as _jax_core
+        try:  # private jax symbol — may move/vanish across jax upgrades
+            from jax._src import core as _jax_core
 
-        if not _jax_core.trace_state_clean():
+            trace_clean = _jax_core.trace_state_clean()
+        except Exception:  # noqa: BLE001 — assume eager (the common call site)
+            trace_clean = True
+        if not trace_clean:
             # First asked from INSIDE a jit trace (module code being traced):
             # running device probes here is unsafe (tracer leaks / remote
             # compile under tracing). Use a fresh file-cache answer if one

@@ -73,7 +73,9 @@ def _barrier(name: str, timeout_ms: int = 900_000) -> None:
 
 
 with mesh:
-    state = create_train_state(model, jax.random.PRNGKey(0), global_bs, opt_ae, opt_disc)
+    state = create_train_state(
+        model, jax.random.PRNGKey(0), global_bs, opt_ae, opt_disc, mesh=mesh
+    )
     step_fn = jax.jit(make_train_step(model, opt_ae, opt_disc, phase="full"))
 
     losses = []

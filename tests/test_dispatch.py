@@ -48,8 +48,21 @@ def test_probe_cache_roundtrip(monkeypatch, tmp_path):
 
 
 def test_probe_cache_expiry(monkeypatch):
+    # TTLs are ASYMMETRIC: negative verdicts (usually transient service
+    # outages) expire on the short clock, positive ones on the long one
     monkeypatch.setattr(dispatch, "_probe", lambda timeout_s=240: False)
-    monkeypatch.setattr(dispatch, "_PROBE_CACHE_TTL_S", 0.0)
+    monkeypatch.setattr(dispatch, "_PROBE_CACHE_TTL_FAIL_S", 0.0)
     assert dispatch._cached_probe() is False
     monkeypatch.setattr(dispatch, "_probe", lambda timeout_s=240: True)
-    assert dispatch._cached_probe() is True  # TTL 0 -> re-probe
+    assert dispatch._cached_probe() is True  # fail-TTL 0 -> re-probe
+    # positive verdict persists even with the fail TTL at zero
+    monkeypatch.setattr(dispatch, "_probe", lambda timeout_s=240: False)
+    assert dispatch._cached_probe() is True
+
+
+def test_reset_probe_clears_verdict(monkeypatch):
+    monkeypatch.setattr(dispatch, "_probe", lambda timeout_s=240: False)
+    assert dispatch._cached_probe() is False
+    dispatch.reset_probe()
+    monkeypatch.setattr(dispatch, "_probe", lambda timeout_s=240: True)
+    assert dispatch._cached_probe() is True  # file cache cleared -> re-probe

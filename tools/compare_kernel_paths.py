@@ -9,6 +9,10 @@ import sys, os; sys.path.insert(0, __import__("os").path.dirname(__import__("os"
 import importlib
 import numpy as np
 
+from generative_detection_tpu.utils.runtime import enable_persistent_cache
+
+enable_persistent_cache()
+
 def run(pallas):
     os.environ["GDT_USE_PALLAS"] = pallas
     # fresh process would be cleaner; emulate by clearing caches
@@ -46,8 +50,12 @@ def run(pallas):
     b["patch"] = rng.uniform(0,1,size=(bs,size,size,3)).astype(np.float32)
     cls = np.resize(np.asarray([0,2,10,5],np.int32), bs); b["class_id"]=cls; b["original_class_id"]=cls
     with mesh:
-        state = create_train_state(model, jax.random.PRNGKey(0), bs, opt_ae, opt_disc)
-        state = state.replace(step=jnp.asarray(40000, jnp.int32))
+        state = create_train_state(
+            model, jax.random.PRNGKey(0), bs, opt_ae, opt_disc, mesh=mesh
+        )
+        from jax.sharding import NamedSharding, PartitionSpec
+        state = state.replace(step=jax.device_put(
+            jnp.asarray(40000, jnp.int32), NamedSharding(mesh, PartitionSpec())))
         fn = jax.jit(make_train_step(model, opt_ae, opt_disc, phase="full"))
         prep = shard_batch(model.prepare_batch(b), mesh)
         _, m = fn(state, prep)
