@@ -586,6 +586,20 @@ class LPIPSWithDiscriminator(nn.Module):
         g = -jnp.mean(self.discriminator(recons, train=True))
         return nll, g
 
+    def nll_terms(self, inputs, recons):
+        """NLL(+LPIPS) scalars only (no discriminator): ``(nll, rec_mean)``.
+        Split so the adaptive-weight vjp for nll backprops through
+        pixel+LPIPS ONLY (same rationale as PoseLoss.nll_terms)."""
+        rec = jnp.abs(inputs - recons)
+        if self.perceptual_weight > 0:
+            rec = rec + self.perceptual_weight * self.perceptual_loss(inputs, recons)
+        nll = jnp.sum(rec / jnp.exp(self.logvar) + self.logvar) / inputs.shape[0]
+        return nll, jnp.mean(rec)
+
+    def g_term(self, recons):
+        """Generator GAN scalar only (one discriminator forward)."""
+        return -jnp.mean(self.discriminator(recons, train=True))
+
     def __call__(
         self,
         inputs,
@@ -595,20 +609,32 @@ class LPIPSWithDiscriminator(nn.Module):
         global_step,
         d_weight=0.0,
         split="train",
+        rec_terms=None,
     ):
         if optimizer_idx == 0:
-            rec = jnp.abs(inputs - recons)
-            if self.perceptual_weight > 0:
-                rec = rec + self.perceptual_weight * self.perceptual_loss(inputs, recons)
-            nll = jnp.sum(rec / jnp.exp(self.logvar) + self.logvar) / inputs.shape[0]
+            if rec_terms is None:
+                rec = jnp.abs(inputs - recons)
+                if self.perceptual_weight > 0:
+                    rec = rec + self.perceptual_weight * self.perceptual_loss(
+                        inputs, recons
+                    )
+                nll = (
+                    jnp.sum(rec / jnp.exp(self.logvar) + self.logvar)
+                    / inputs.shape[0]
+                )
+                g = -jnp.mean(self.discriminator(recons, train=True))
+                rec_mean = jnp.mean(rec)
+            else:
+                # precomputed by the train step's adaptive-weight vjps so
+                # LPIPS/discriminator run (and backprop) exactly once
+                nll, g, rec_mean = rec_terms
             kl = jnp.sum(posterior.kl()) / inputs.shape[0]
-            g = -jnp.mean(self.discriminator(recons, train=True))
             disc_factor = adopt_weight(self.disc_factor, global_step, self.disc_start)
             loss = nll + self.kl_weight * kl + jnp.asarray(d_weight) * disc_factor * g
             log = {
                 f"{split}/total_loss": loss,
                 f"{split}/nll_loss": nll,
-                f"{split}/rec_loss": jnp.mean(rec),  # monitored key (ldm logs it)
+                f"{split}/rec_loss": rec_mean,  # monitored key (ldm logs it)
                 f"{split}/kl_loss": kl,
                 f"{split}/g_loss": g,
                 f"{split}/logvar": self.logvar,

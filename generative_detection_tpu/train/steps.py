@@ -76,6 +76,23 @@ def _adaptive_d_weight(g_nll_w, g_g_w, disc_weight):
     return jnp.clip(num / den, 0.0, 1e4) * disc_weight
 
 
+def _reattach_grad(value, y, gy):
+    """Return ``value`` (computed on ``stop_gradient(y)``) carrying
+    ``d value/d y := gy`` for the outer autodiff.
+
+    The adaptive-weight machinery already computes the exact cotangents of
+    the reconstruction-dependent scalars (one LPIPS backward, one
+    discriminator backward). If those scalars re-entered the total through
+    their primal graphs, the outer ``value_and_grad`` would differentiate
+    LPIPS and the discriminator a SECOND time — the cotangent values differ
+    between the two pulls, so XLA cannot CSE the duplicated backwards (the
+    round-2 profile's "loss tail"). Surrogate: value + <y, sg(gy)> -
+    sg(<y, gy>) has the same primal value and exactly gradient ``gy``.
+    """
+    dot = jnp.vdot(y, jax.lax.stop_gradient(gy))
+    return value + dot - jax.lax.stop_gradient(dot)
+
+
 def make_train_step(
     model,
     opt_ae,
@@ -163,9 +180,13 @@ def make_train_step(
                         method=loss.g_term,
                     )
 
-                (nll, w_nll, rec_mean), vjp_nll = jax.vjp(nll_fn, y)
-                g_loss, vjp_g = jax.vjp(g_fn, y)
-                terms = (nll, w_nll, g_loss, rec_mean)
+                # vjp on a DETACHED y: the primal scalars re-enter the total
+                # as surrogates carrying the precomputed cotangents, so the
+                # outer backward never re-differentiates LPIPS or the
+                # discriminator (see _reattach_grad).
+                y_det = jax.lax.stop_gradient(y)
+                (nll, w_nll, rec_mean), vjp_nll = jax.vjp(nll_fn, y_det)
+                g_loss, vjp_g = jax.vjp(g_fn, y_det)
                 gy_nll = vjp_nll((jnp.ones(()), jnp.zeros(()), jnp.zeros(())))[0]
                 gy_g = vjp_g(jnp.ones(()))[0]
                 g_nll_w, g_g_w = _conv_out_kernel_grads(
@@ -174,6 +195,14 @@ def make_train_step(
                 d_weight = _adaptive_d_weight(g_nll_w, g_g_w, disc_weight_cfg)
                 active = jnp.logical_and(disc_factor_cfg > 0.0, step_g > pretrain)
                 d_weight = jax.lax.stop_gradient(jnp.where(active, d_weight, 0.0))
+                # the step always calls nll_terms with weights=None, where
+                # w_nll == nll elementwise, so d w_nll/dy == gy_nll exactly
+                terms = (
+                    nll,
+                    _reattach_grad(w_nll, y, gy_nll),
+                    _reattach_grad(g_loss, y, gy_g),
+                    rec_mean,
+                )
 
             total, log = loss.apply(
                 {"params": loss_params},
@@ -300,14 +329,23 @@ def make_plain_train_step(
             outs = net.apply({"params": net_params}, x, rngs=rngs)
             y = outs["dec_obj"]
 
-            def pair(yy):
+            # SPLIT vjps on a DETACHED y (same scheme as the pose step): nll
+            # backprops through pixel+LPIPS only, g through the discriminator
+            # only, each exactly once; the primal scalars re-enter the total
+            # as surrogates carrying the precomputed cotangents.
+            def nll_fn(yy):
                 return loss.apply(
-                    {"params": loss_params}, x, yy, step_g, method=loss.nll_g_pair
+                    {"params": loss_params}, x, yy, method=loss.nll_terms
                 )
 
-            (nll, g), vjp = jax.vjp(pair, y)
-            gy_nll = vjp((jnp.ones(()), jnp.zeros(())))[0]
-            gy_g = vjp((jnp.zeros(()), jnp.ones(())))[0]
+            def g_fn(yy):
+                return loss.apply({"params": loss_params}, yy, method=loss.g_term)
+
+            y_det = jax.lax.stop_gradient(y)
+            (nll, rec_mean), vjp_nll = jax.vjp(nll_fn, y_det)
+            g, vjp_g = jax.vjp(g_fn, y_det)
+            gy_nll = vjp_nll((jnp.ones(()), jnp.zeros(())))[0]
+            gy_g = vjp_g(jnp.ones(()))[0]
             g_nll_w, g_g_w = _conv_out_kernel_grads(
                 net_params, outs["pre_out"], (gy_nll, gy_g)
             )
@@ -322,6 +360,11 @@ def make_plain_train_step(
                 0,
                 step_g,
                 d_weight=d_weight,
+                rec_terms=(
+                    _reattach_grad(nll, y, gy_nll),
+                    _reattach_grad(g, y, gy_g),
+                    rec_mean,
+                ),
             )
             return total, (log, outs)
 
