@@ -115,6 +115,7 @@ class Trainer:
         )
         self.epoch = 0
         self.val_batch_idx = 0
+        self._last_trainstep_saved = 0  # opt step 0 is never checkpointed
         self.state: Optional[TrainState] = None
         self.interrupted = False
         self._train_fns: Dict[str, Any] = {}
@@ -289,10 +290,41 @@ class Trainer:
             self._image_fns = {"fwd": fwd, "fwd_pert": fwd_pert}
         return self._image_fns
 
+    @staticmethod
+    def _local_view(arr):
+        """Process-local view of a possibly non-fully-addressable global array.
+
+        Multi-host image logging is rank-0-only I/O, but ops on global arrays
+        are collective — a single process touching them deadlocks the cluster.
+        Instead every rank computes from its own addressable shards (the
+        DDP-faithful choice: the reference logs rank 0's local GPU batch).
+        Replicated arrays (params) dedupe to the one local replica and stay
+        on device; batch-sharded arrays concatenate local shards on host.
+        """
+        if not isinstance(arr, jax.Array) or arr.is_fully_addressable:
+            return arr
+        parts = {}
+        for s in arr.addressable_shards:
+            start = 0
+            if s.index and isinstance(s.index[0], slice) and s.index[0].start:
+                start = s.index[0].start
+            parts.setdefault(start, s.data)
+        if len(parts) == 1:
+            return next(iter(parts.values()))
+        return np.concatenate(
+            [np.asarray(parts[k]) for k in sorted(parts)], axis=0
+        )
+
     def log_images(self, prepared_batch, max_images: int = 4) -> Dict[str, np.ndarray]:
         """ref autoencoder.py:397-432: inputs / recon / perturbed-pose recon."""
         if self.state is None:
             return {}
+        prepared_batch = {
+            k: self._local_view(v) for k, v in prepared_batch.items()
+        }
+        net_params = jax.tree_util.tree_map(
+            self._local_view, self.state.net_params
+        )
         if getattr(self.model, "step_family", "pose") == "plain":
             m = self.model
             inet = m.inference_net() if hasattr(m, "inference_net") else m.net
@@ -302,7 +334,7 @@ class Trainer:
             )
             outs = jax.jit(
                 lambda p, x: inet.apply({"params": p}, x, rngs={"sample": key})
-            )(self.state.net_params, x)
+            )(net_params, x)
             return {
                 "inputs": np.asarray(x),
                 "reconstructions": np.asarray(outs["dec_obj"]),
@@ -313,11 +345,11 @@ class Trainer:
             self._global_step_for_phase(self.global_batch()), jnp.int32
         )
         key = jax.random.fold_in(jax.random.PRNGKey(self.seed + 7), self.global_batch())
-        dec_obj, dec_pose = fns["fwd"](self.state.net_params, x, step, key)
+        dec_obj, dec_pose = fns["fwd"](net_params, x, step, key)
         pose_pert = dec_pose.at[:, 3].set(
-            prepared_batch["yaw_perturbed"][: x.shape[0]]
+            jnp.asarray(prepared_batch["yaw_perturbed"])[: x.shape[0]]
         )
-        xrec_pert = fns["fwd_pert"](self.state.net_params, x, pose_pert, key)
+        xrec_pert = fns["fwd_pert"](net_params, x, pose_pert, key)
         return {
             "inputs_rgb": np.asarray(x),
             "reconstructions_rgb": np.asarray(dec_obj),
@@ -343,7 +375,8 @@ class Trainer:
         with self.mesh:
             self.state = self._pallas_fallback(
                 lambda: create_train_state(
-                    m, rng, batch_size, self._opt_ae, self._opt_disc
+                    m, rng, batch_size, self._opt_ae, self._opt_disc,
+                    mesh=self.mesh,
                 )
             )
             if self.resume_from_checkpoint:
@@ -382,11 +415,20 @@ class Trainer:
                             and step % self.log_every_n == 0
                         ):
                             self.logger.log_metrics(metrics, step)
+                        # Lightning's every_n_train_steps counts OPTIMIZER
+                        # steps (global_step), not micro-batches: under
+                        # accumulate_grad_batches=k the stream must fire once
+                        # per k micro-batches and label with the opt step,
+                        # consistent with the curriculum clock (ref
+                        # train.py:309-325 ModelCheckpoint semantics).
+                        opt_step = step // max(self.accumulate_grad_batches, 1)
                         if (
                             self.every_n_train_steps
-                            and step % self.every_n_train_steps == 0
+                            and opt_step % self.every_n_train_steps == 0
+                            and opt_step != self._last_trainstep_saved
                         ):
-                            self._ckpt_mgr.save_trainstep(step, self.state)
+                            self._ckpt_mgr.save_trainstep(opt_step, self.state)
+                            self._last_trainstep_saved = opt_step
                         for cb in self.callbacks:
                             cb.on_train_batch_end(self, metrics, prepared)
                         if self.max_steps and step >= self.max_steps:
@@ -420,18 +462,20 @@ class Trainer:
         # Aggregate on device: per-batch host fetches would serialize eval on
         # remote backends (one round trip per metric per batch); instead keep
         # lazy device scalars and fetch once after the last batch dispatches.
-        agg: Dict[str, Any] = {}
+        # The accumulate itself is ONE jitted tree-add per batch — eager
+        # per-metric adds cost ~27 dispatches/batch (~0.7 ms each tunneled).
+        agg: Optional[Dict[str, Any]] = None
         n_batches = 0
         self.val_batch_idx = 0
         eval_rng = jax.random.PRNGKey(self.seed + 1)
+        tree_add = jax.jit(lambda a, b: jax.tree_util.tree_map(jnp.add, a, b))
         for i, batch in enumerate(loader()):
             if self.limit_val_batches and i >= self.limit_val_batches:
                 break
             prepared = m.prepare_batch(batch)
             prepared = shard_batch(prepared, self.mesh)
             metrics = self._eval_fn(self.state, prepared, jax.random.fold_in(eval_rng, i))
-            for k, v in metrics.items():
-                agg[k] = v if k not in agg else agg[k] + v
+            agg = dict(metrics) if agg is None else tree_add(agg, dict(metrics))
             n_batches += 1
             for cb in self.callbacks:
                 cb.on_validation_batch_end(self, metrics, prepared)

@@ -67,3 +67,37 @@ def test_every_n_train_steps_checkpoint_stream(tmp_path):
     assert os.path.isdir(stream)
     steps = sorted(int(d) for d in os.listdir(stream) if d.isdigit())
     assert steps == [2, 4], steps
+
+
+def test_every_n_train_steps_counts_optimizer_steps(tmp_path):
+    """Under accumulate_grad_batches=k the stream fires per OPTIMIZER step
+    (Lightning global_step), not per micro-batch, and labels dirs with the
+    optimizer step — consistent with the curriculum clock."""
+    import os
+
+    from generative_detection_tpu.config import load_yaml, instantiate_from_config
+    from generative_detection_tpu.train.callbacks import CheckpointCallback
+    from generative_detection_tpu.train.loop import Trainer
+
+    cfg = load_yaml("configs/autoencoder/pose/tiny_cpu.yaml")
+    model = instantiate_from_config(cfg["model"])
+    model.learning_rate = 1e-4
+    data = instantiate_from_config(cfg["data"])
+    data.setup()
+
+    logdir = str(tmp_path / "run")
+    t = Trainer(
+        model,
+        logdir=logdir,
+        max_epochs=5,
+        max_steps=8,  # micro-batches -> 4 optimizer steps
+        limit_val_batches=1,
+        accumulate_grad_batches=2,
+        callbacks=[CheckpointCallback(every_n_train_steps=2)],
+        step_counting="batch",
+    )
+    t.fit(data)
+    stream = os.path.join(logdir, "checkpoints", "trainstep_checkpoints")
+    assert os.path.isdir(stream)
+    steps = sorted(int(d) for d in os.listdir(stream) if d.isdigit())
+    assert steps == [2, 4], steps  # opt steps, saved once each
