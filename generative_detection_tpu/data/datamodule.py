@@ -63,8 +63,22 @@ class _Loader:
         self.num_shards = max(num_shards, 1)
         self._epoch = 0
 
+    def _padded_total(self) -> int:
+        """Global order length after padding to a multiple of num_shards.
+
+        Multi-host shards MUST be equal-length: train/eval steps and orbax
+        saves are collective over the global mesh, so a process with one
+        extra batch dispatches one extra collective and the cluster
+        deadlocks at epoch end. torch's DistributedSampler pads the order by
+        repeating leading indices for exactly this reason; we match it.
+        """
+        n = len(self.dataset)
+        if self.num_shards <= 1:
+            return n
+        return -(-n // self.num_shards) * self.num_shards
+
     def _local_len(self) -> int:
-        return len(range(self.shard_id, len(self.dataset), self.num_shards))
+        return self._padded_total() // self.num_shards
 
     def __len__(self):
         n = self._local_len() // self.batch_size
@@ -77,6 +91,9 @@ class _Loader:
         if self.shuffle:
             np.random.default_rng((self.seed, self._epoch)).shuffle(order)
         if self.num_shards > 1:
+            pad = self._padded_total() - len(order)
+            if pad:  # repeat leading indices (DistributedSampler semantics)
+                order = np.concatenate([order, order[:pad]])
             order = order[self.shard_id :: self.num_shards]
         self._epoch += 1
         batches = [

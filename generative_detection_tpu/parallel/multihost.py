@@ -15,11 +15,64 @@ Single-host runs are unaffected (initialize() is a no-op there).
 from __future__ import annotations
 
 import logging
+import os
 from typing import Dict, Optional
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# Environment markers that identify a genuine multi-process launch. On a real
+# TPU pod the TPU runtime exports worker topology; under SLURM srun (the
+# reference's launcher, ref README.md:58) task variables appear; and
+# JAX_COORDINATOR_ADDRESS is jax.distributed's own contract. An explicit
+# coordinator address always means "join"; worker-list vars only count when
+# they imply MORE THAN ONE worker (single-chip runtimes export e.g.
+# TPU_WORKER_HOSTNAMES=localhost, which is not a cluster).
+_COORDINATOR_MARKERS = (
+    "JAX_COORDINATOR_ADDRESS",
+    "MEGASCALE_COORDINATOR_ADDRESS",
+)
+_WORKER_LIST_MARKERS = (
+    "TPU_WORKER_HOSTNAMES",
+    "TPU_PROCESS_ADDRESSES",
+)
+
+
+def should_initialize() -> bool:
+    """Whether to attempt joining a distributed cluster at startup.
+
+    Behavior matrix:
+    - ``GDT_MULTIHOST=1``  -> always attempt (manual override);
+    - ``GDT_MULTIHOST=0``  -> never attempt (manual opt-out);
+    - otherwise            -> attempt iff the launch environment implies a
+      multi-process world: an explicit coordinator address, a TPU worker
+      list with >1 entries, or ``SLURM_NTASKS>1``. Plain single-host runs
+      match none of these, so startup never blocks on coordinator
+      discovery; real pods export multi-entry topology unconditionally, so
+      no user flag is needed there.
+    """
+    override = os.environ.get("GDT_MULTIHOST")
+    if override == "1":
+        return True
+    if override == "0":
+        return False
+    if any(os.environ.get(v) for v in _COORDINATOR_MARKERS):
+        return True
+    for v in _WORKER_LIST_MARKERS:
+        if len([h for h in os.environ.get(v, "").split(",") if h]) > 1:
+            return True
+    try:
+        return int(os.environ.get("SLURM_NTASKS", "1")) > 1
+    except ValueError:
+        return False
+
+
+def maybe_initialize() -> None:
+    """Join the cluster when launch-environment markers say one exists;
+    ``initialize()`` itself is still a safe no-op on failure."""
+    if should_initialize():
+        initialize()
 
 
 def initialize(

@@ -86,20 +86,85 @@ def test_loader_sharding_disjoint_and_complete():
             return {"v": np.asarray(i)}
 
     seen = []
+    counts = []
     for shard in range(3):
         loader = _Loader(
             D(), batch_size=2, shuffle=True, num_workers=0, seed=7,
             shard_id=shard, num_shards=3,
         )
-        items = [int(v) for batch in loader() for v in batch["v"]]
+        batches = list(loader())
+        counts.append(len(batches))
+        items = [int(v) for batch in batches for v in batch["v"]]
         seen.append(set(items))
-        assert len(items) == len(set(items))
-    assert seen[0] & seen[1] == set()
-    assert seen[0] & seen[2] == set()
-    assert seen[1] & seen[2] == set()
-    # full coverage modulo drop_last (batch_size 2, 12/13 per shard)
-    assert len(seen[0] | seen[1] | seen[2]) >= 36
+    # equal batch counts on every shard (collective-step alignment); 37
+    # items pad to 39 -> 13/shard -> 6 batches with drop_last
+    assert counts == [6, 6, 6]
+    # near-disjoint: padding duplicates at most (padded_total - N) = 2 items
+    overlap = (seen[0] & seen[1]) | (seen[0] & seen[2]) | (seen[1] & seen[2])
+    assert len(overlap) <= 2
+    # full coverage modulo drop_last (batch_size 2, 13 per shard)
+    assert len(seen[0] | seen[1] | seen[2]) >= 36 - 2
 
-    # per-shard length accounting
-    l0 = _Loader(D(), batch_size=2, shuffle=False, shard_id=0, num_shards=3)
-    assert l0._local_len() == 13 and len(l0) == 6
+    # per-shard length accounting: identical on ALL shards after padding
+    for shard in range(3):
+        l0 = _Loader(D(), batch_size=2, shuffle=False, shard_id=shard, num_shards=3)
+        assert l0._local_len() == 13 and len(l0) == 6
+
+
+def test_loader_sharding_uneven_batch_boundary():
+    """The deadlock shape from ADVICE r2: N=15, 2 shards, bs=4. Unpadded
+    striding gives 8 vs 7 items -> 2 vs 1 batches and a hung collective;
+    padding must equalize to 2 batches per shard."""
+    from generative_detection_tpu.data.datamodule import _Loader
+
+    class D:
+        def __len__(self):
+            return 15
+
+        def __getitem__(self, i):
+            return {"v": np.asarray(i)}
+
+    counts = []
+    all_items = set()
+    for shard in range(2):
+        loader = _Loader(
+            D(), batch_size=4, shuffle=True, num_workers=0, seed=3,
+            shard_id=shard, num_shards=2,
+        )
+        batches = list(loader())
+        counts.append(len(batches))
+        all_items |= {int(v) for b in batches for v in b["v"]}
+    assert counts[0] == counts[1] == 2
+    # 15 pad to 16 -> 8/shard -> exactly 2 full batches, nothing dropped:
+    # every distinct item appears (one appears twice via the pad copy)
+    assert len(all_items) == 15
+
+
+def test_should_initialize_behavior_matrix(monkeypatch):
+    """maybe_initialize attempts cluster join iff the launch env implies a
+    multi-process world (VERDICT r2 #7): explicit coordinator address, >1
+    TPU workers, or SLURM_NTASKS>1; GDT_MULTIHOST=0/1 overrides."""
+    from generative_detection_tpu.parallel import multihost as mh
+
+    for var in ("GDT_MULTIHOST", "JAX_COORDINATOR_ADDRESS",
+                "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES",
+                "TPU_PROCESS_ADDRESSES", "SLURM_NTASKS"):
+        monkeypatch.delenv(var, raising=False)
+    assert mh.should_initialize() is False
+    # single-chip runtimes export a one-entry worker list: not a cluster
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    assert mh.should_initialize() is False
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host-a,host-b")
+    assert mh.should_initialize() is True
+    monkeypatch.setenv("GDT_MULTIHOST", "0")  # opt-out beats markers
+    assert mh.should_initialize() is False
+    monkeypatch.setenv("GDT_MULTIHOST", "1")
+    assert mh.should_initialize() is True
+    monkeypatch.delenv("GDT_MULTIHOST")
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    monkeypatch.setenv("SLURM_NTASKS", "4")  # the reference's srun launch
+    assert mh.should_initialize() is True
+    monkeypatch.setenv("SLURM_NTASKS", "1")
+    assert mh.should_initialize() is False
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
+    assert mh.should_initialize() is True
