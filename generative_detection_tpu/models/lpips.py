@@ -20,6 +20,8 @@ parameter tree layout is identical.
 
 from __future__ import annotations
 
+import hashlib
+import os
 from typing import Any, Sequence
 
 import numpy as np
@@ -89,15 +91,79 @@ class LPIPS(nn.Module):
         return total.astype(jnp.float32)
 
 
-def load_lpips_weights(params: dict, weights_path: str) -> dict:
+# The exact key set tools/convert_lpips.py writes: 13 VGG16 convs
+# (kernel+bias) + 5 linear heads (kernel only). Anything else is a wrong or
+# truncated file and must fail loudly, not train silently random.
+EXPECTED_NPZ_KEYS = frozenset(
+    [f"vgg/conv{i}/{p}" for i in range(1, 14) for p in ("kernel", "bias")]
+    + [f"lin{i}/kernel" for i in range(5)]
+)
+
+
+def load_lpips_weights(
+    params: dict, weights_path: str, expected_sha256: str | None = None
+) -> dict:
     """Overlay converted pretrained weights (.npz from tools/convert_lpips.py)
-    onto an initialized LPIPS parameter tree."""
+    onto an initialized LPIPS parameter tree.
+
+    Validates before merging (pretrained perceptual weights are the one
+    still-outstanding parity artifact — ref contperceptual.py:143-145 — so a
+    future weight file must be a config change that either works byte-exactly
+    or fails with an actionable error):
+    - optional ``expected_sha256`` (or a ``<weights_path>.sha256`` sidecar
+      file): content checksum of the npz;
+    - the key set must equal the converter layout exactly;
+    - every array's shape must match the initialized parameter it replaces.
+    """
     import flax
 
+    if expected_sha256 is None:
+        sidecar = weights_path + ".sha256"
+        if os.path.exists(sidecar):
+            with open(sidecar) as f:
+                expected_sha256 = f.read().split()[0].strip()
+    if expected_sha256:
+        h = hashlib.sha256()
+        with open(weights_path, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+        got = h.hexdigest()
+        if got != expected_sha256.lower():
+            raise ValueError(
+                f"LPIPS weights checksum mismatch for {weights_path}: "
+                f"expected {expected_sha256}, got {got}. Re-run "
+                "tools/convert_lpips.py or fix the recorded checksum."
+            )
+
     flat = dict(np.load(weights_path))
+    keys = frozenset(flat)
+    if keys != EXPECTED_NPZ_KEYS:
+        missing = sorted(EXPECTED_NPZ_KEYS - keys)
+        extra = sorted(keys - EXPECTED_NPZ_KEYS)
+        raise ValueError(
+            f"LPIPS npz {weights_path} does not match the converter layout: "
+            f"missing={missing[:5]}{'...' if len(missing) > 5 else ''} "
+            f"extra={extra[:5]}{'...' if len(extra) > 5 else ''} "
+            "(expected the exact tools/convert_lpips.py key set)"
+        )
+
+    merged = flax.core.unfreeze(params)
+    flat_params = flax.traverse_util.flatten_dict(merged)
+    for k, v in flat.items():
+        path = tuple(k.split("/"))
+        if path not in flat_params:
+            raise ValueError(
+                f"LPIPS npz key {k!r} has no matching initialized parameter "
+                f"(module layout changed?)"
+            )
+        want_shape = tuple(flat_params[path].shape)
+        if tuple(v.shape) != want_shape:
+            raise ValueError(
+                f"LPIPS npz {k!r} shape {tuple(v.shape)} != parameter shape "
+                f"{want_shape}"
+            )
     tree = flax.traverse_util.unflatten_dict(
         {tuple(k.split("/")): jnp.asarray(v) for k, v in flat.items()}
     )
-    merged = flax.core.unfreeze(params)
     merged.update(tree)
     return merged
