@@ -5,11 +5,17 @@
 Runs batched crop -> encode -> pose-decode inference, recovers camera-frame
 3D boxes from the pose latents, and reports reconstruction (PSNR, KL) and
 per-patch detection metrics (center-distance matches, ATE/ASE/AOE, class
-accuracy). Data-parallel over all local devices.
+accuracy). Inference is data-parallel over the device mesh whenever the
+batch size divides the device count (BASELINE config #5: "data-parallel over
+ICI"); batches route through ``model.prepare_batch`` so both image contracts
+work — host-preprocessed ``patch`` and ``device_preprocess: true`` raw
+crops.
 
-Scope: metrics are 1:1 PER PATCH (one GT and one prediction per patch),
-not set-based frame-level mAP/NDS — see eval/metrics.py for the precise
-matching semantics.
+Detection metrics come in two granularities:
+- 1:1 PER PATCH (one GT and one prediction per patch) — eval/metrics.py;
+- set-based frame-level mAP/NDS-3 — patches grouped into real frames by
+  ``(sample_idx, cam_idx)`` when the dataset emits them (nuscenes.py does),
+  else each patch is its own pseudo-frame (synthetic data).
 
 Usage:
   python eval.py -b configs/autoencoder/pose/synthetic_smoke.yaml \
@@ -47,6 +53,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from generative_detection_tpu.utils.runtime import enable_persistent_cache
+
+    enable_persistent_cache()
+
     from generative_detection_tpu.config import instantiate_from_config, merge_configs
     from generative_detection_tpu.eval import detection_metrics, psnr, recover_boxes
     from generative_detection_tpu.losses.contperceptual import LABEL_NAMES
@@ -54,7 +64,9 @@ def main():
     from generative_detection_tpu.train.checkpoint import CheckpointManager
 
     config = merge_configs(opt.base, unknown)
-    config.pop("lightning", None)
+    lightning_cfg = config.pop("lightning", {}) or {}
+    if (lightning_cfg.get("trainer", {}) or {}).get("accelerator") == "cpu":
+        jax.config.update("jax_platforms", "cpu")  # CI / virtual-mesh tests
     model = instantiate_from_config(config["model"])
     model.learning_rate = 1e-4
     data = instantiate_from_config(config["data"])
@@ -64,9 +76,24 @@ def main():
     dataset = data.datasets[split]
     logging.info("Evaluating %s (%d items)", split, len(dataset))
 
+    # Data-parallel inference mesh (BASELINE config #5): shard the batch over
+    # every local device when the batch size divides the device count, else
+    # fall back to one device (the XLA sharding contract needs even shards).
+    from generative_detection_tpu.parallel import create_mesh, shard_batch
+
+    devices = jax.devices()
+    n_dev = len(devices) if data.batch_size % len(devices) == 0 else 1
+    if n_dev != len(devices):
+        logging.warning(
+            "batch_size %d not divisible by %d devices; evaluating on 1 device",
+            data.batch_size, len(devices),
+        )
+    mesh = create_mesh(devices[:n_dev])
+
     opt_ae, opt_disc = make_optimizers(model.learning_rate)
     state = create_train_state(
-        model, jax.random.PRNGKey(opt.seed), data.batch_size, opt_ae, opt_disc
+        model, jax.random.PRNGKey(opt.seed), data.batch_size, opt_ae, opt_disc,
+        mesh=mesh,
     )
     if opt.resume:
         ckptdir = opt.resume
@@ -97,11 +124,9 @@ def main():
         )
         return outs["dec_obj"], outs["dec_pose"], outs["posterior_obj"].kl()
 
-    from generative_detection_tpu.models.autoencoder import rescale_minmax
-
     agg = {"psnr": [], "kl": []}
     all_pred, all_cls, all_gt, all_gtcls, all_fg = [], [], [], [], []
-    all_score = []
+    all_score, all_frame = [], []
     step = jnp.asarray(10**9, jnp.int32)  # fully-trained phase gates
 
     loaders = {
@@ -112,15 +137,28 @@ def main():
     for i, batch in enumerate(loaders.get(split, data.val_dataloader)()):
         if opt.limit is not None and i >= opt.limit:
             break
-        rgb = jnp.asarray(batch["patch"], jnp.float32)
-        if rgb.shape[1] == 3 and rgb.shape[-1] != 3:
-            rgb = jnp.transpose(rgb, (0, 2, 3, 1))
-        rgb = rescale_minmax(rgb)
-        dec_obj, dec_pose, kl = infer(state.net_params, rgb, step)
-        agg["psnr"].append(psnr(np.asarray(rgb), np.asarray(dec_obj)))
+        # prepare_batch handles BOTH image contracts (host float `patch` and
+        # device_preprocess raw crops) and applies rescale_minmax; sharding
+        # the prepared batch over the mesh makes the jit data-parallel.
+        with mesh:
+            prepared = shard_batch(model.prepare_batch(batch), mesh)
+            rgb = prepared["rgb_gt"]
+            dec_obj, dec_pose, kl = infer(state.net_params, rgb, step)
+        rgb = np.asarray(rgb)
+        agg["psnr"].append(psnr(rgb, np.asarray(dec_obj)))
         agg["kl"].append(float(np.mean(np.asarray(kl))))
 
         b = rgb.shape[0]
+        # real frame identity when the dataset emits it (nuscenes.py:568-570);
+        # a sentinel -1 means "no grouping known" (synthetic datasets)
+        if "sample_idx" in batch and "cam_idx" in batch:
+            frame_ids = (
+                np.asarray(batch["sample_idx"], np.int64) * 64
+                + np.asarray(batch["cam_idx"], np.int64)
+            )
+        else:
+            frame_ids = np.full((b,), -1, np.int64)
+        all_frame.append(frame_ids)
         patch_size = jnp.asarray(batch["patch_size"], jnp.float32).reshape(b, -1)[:, 0]
         center = jnp.asarray(batch["patch_center_2d"], jnp.float32).reshape(b, 2)
         resampling = jnp.asarray(batch["resampling_factor"], jnp.float32).reshape(b)
@@ -168,9 +206,12 @@ def main():
         )
     )
 
-    # set-based frame-level metrics (eval/detection.py). Patch datasets have
-    # no frame grouping in the batch stream, so each patch is its own frame
-    # (matching stays honest: a prediction can only match its frame's GT).
+    # set-based frame-level metrics (eval/detection.py). Patches group into
+    # REAL frames by (sample_idx, cam_idx) when the dataset emits them —
+    # multiple predictions/GTs per camera frame compete in the matching, the
+    # nuScenes-protocol shape. Datasets without frame identity (synthetic)
+    # fall back to one pseudo-frame per patch (matching stays honest: a
+    # prediction can only match its own frame's GT).
     from generative_detection_tpu.eval import evaluate_detections
 
     pred_np = np.concatenate(all_pred)
@@ -179,6 +220,7 @@ def main():
     gtc_np = np.concatenate(all_gtcls)
     fg_np = np.concatenate(all_fg)
     score_np = np.concatenate(all_score)
+    frame_np = np.concatenate(all_frame)
 
     def _sbox(frame, name, row, score=None):
         d = {
@@ -194,11 +236,12 @@ def main():
 
     preds_set, gts_set = [], []
     for f in range(pred_np.shape[0]):
+        fid = int(frame_np[f]) if frame_np[f] >= 0 else (1 << 40) + f
         cid = int(cls_np[f])
         if 0 <= cid < len(LABEL_NAMES) and LABEL_NAMES[cid] != "background":
-            preds_set.append(_sbox(f, LABEL_NAMES[cid], pred_np[f], score_np[f]))
+            preds_set.append(_sbox(fid, LABEL_NAMES[cid], pred_np[f], score_np[f]))
         if fg_np[f]:
-            gts_set.append(_sbox(f, LABEL_NAMES[int(gtc_np[f])], gt_np[f]))
+            gts_set.append(_sbox(fid, LABEL_NAMES[int(gtc_np[f])], gt_np[f]))
     set_metrics = evaluate_detections(
         preds_set, gts_set, [n for n in LABEL_NAMES if n != "background"]
     )

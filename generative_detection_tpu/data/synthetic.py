@@ -146,11 +146,19 @@ class SyntheticPatchBase:
         negative_sample_prob: float = 0.5,
         label_names=None,
         seed: int = 23,
+        device_preprocess: bool = False,
         **_,
     ):
         self.length = length
         self.patch_out = patch_height
         self.patch_w = int(patch_height * patch_aspect_ratio)
+        # device_preprocess: emit the raw-uint8-crop contract (patch_raw +
+        # mask rect; resize/normalize/mask run inside jit via
+        # model.prepare_batch) — same keys as nuscenes.py:283-328, so the
+        # device path is exercisable without real nuScenes data.
+        self.device_preprocess = device_preprocess
+        if device_preprocess and patch_aspect_ratio != 1.0:
+            raise ValueError("device_preprocess needs square patches")
         self.negative_sample_prob = negative_sample_prob
         names = label_names or list(LABEL_NAME2ID)
         self.label_ids = [LABEL_NAME2ID[n] for n in names]
@@ -169,6 +177,7 @@ class SyntheticPatchBase:
         )
         img = np.stack([base * c for c in rng.uniform(0.4, 1.0, size=3)], axis=-1)
         mask = np.zeros((h, w, 1), np.float32)
+        rect = (0.0, 0.0, 0.0, 0.0)  # x1,y1,x2,y2 of the mask in crop pixels
         if with_object:
             cx, cy = w // 2, h // 2
             bw = int(rng.uniform(0.3, 0.9) * w)
@@ -178,12 +187,13 @@ class SyntheticPatchBase:
             color = rng.uniform(0.0, 1.0, size=3)
             img[y1:y2, x1:x2] = 0.3 * img[y1:y2, x1:x2] + 0.7 * color
             mask[y1:y2, x1:x2] = 1.0
-        return img.astype(np.float32), mask
+            rect = (float(x1), float(y1), float(x2), float(y2))
+        return img.astype(np.float32), mask, rect
 
     def __getitem__(self, idx: int) -> Dict:
         rng = np.random.default_rng((self.seed, idx))
         is_object = rng.random() > self.negative_sample_prob
-        patch, mask = self._render_patch(rng, is_object)
+        patch, mask, rect = self._render_patch(rng, is_object)
         if is_object:
             orig_id = int(rng.choice([i for i in self.label_ids if i != 10] or [0]))
             z = rng.uniform(8.0, 45.0)
@@ -247,6 +257,15 @@ class SyntheticPatchBase:
                 "resampling_factor": np.float32(1.0),
                 "bbox_3d_gt": np.zeros(7, np.float32),
             }
+        if self.device_preprocess:
+            item.pop("mask_2d_bbox")
+            raw = item.pop("patch")
+            item["patch_raw"] = np.clip(raw * 255.0 + 0.5, 0, 255).astype(np.uint8)
+            item["patch_src_size"] = np.float32(self.patch_out)
+            item["bbox_in_crop"] = np.asarray(
+                rect if is_object else (0.0, 0.0, 0.0, 0.0), np.float32
+            )
+            item["patch_out_size"] = np.int32(self.patch_out)
         return item
 
 
@@ -269,7 +288,7 @@ class SyntheticImageBase(SyntheticPatchBase):
 
     def __getitem__(self, idx: int) -> Dict:
         rng = np.random.default_rng((self.seed, idx, 7))
-        img, _ = self._render_patch(rng, with_object=rng.random() > 0.5)
+        img, _, _ = self._render_patch(rng, with_object=rng.random() > 0.5)
         return {"image": (2.0 * img - 1.0).astype(np.float32)}
 
 
