@@ -13,9 +13,14 @@ definition, not copied from the devkit):
 - AP = mean precision over 101 recall samples, with recall < 10% and
   precision < 10% clipped out and the rest renormalized;
 - mAP = mean AP over classes and thresholds;
-- TP errors computed over matches at the 2 m threshold: ATE (2D center
-  distance), ASE (1 - aligned 3D IoU = 1 - prod(min(s)/max(s))), AOE
-  (absolute yaw difference, period 2*pi — pi for barriers);
+- TP errors over matches at the 2 m threshold, aggregated with the
+  protocol's recall-sampled cumulative means (NOT plain match means): the
+  per-match errors — ATE (2D center distance), ASE (1 - aligned 3D IoU),
+  AOE (absolute yaw difference, period 2*pi; pi for barriers) — are
+  accumulated in confidence order, their cumulative mean interpolated onto
+  the 101 recall samples, and averaged from the min-recall sample to the
+  maximum achieved recall; classes never reaching min recall score the
+  maximal error 1.0;
 - NDS-3 = (4*mAP + sum_tp (1 - min(1, err))) / 7 — the nuScenes NDS recipe
   restricted to the three TP errors this model predicts (no velocity /
   attribute heads in the OD-VAE pose vector, ref pose_decoder.py:60-98),
@@ -93,6 +98,25 @@ def _match_class(
     return tp, conf, len(gts), pairs
 
 
+def _protocol_tp_error(errs: np.ndarray, n_gt: int) -> float:
+    """nuScenes ``calc_tp`` semantics: per-match errors in confidence order
+    -> cumulative mean -> interpolate onto the 101 recall samples ->
+    average samples in [min_recall+1 sample, max achieved recall sample].
+    Returns the maximal error 1.0 when recall never reaches min_recall."""
+    if n_gt == 0 or len(errs) == 0:
+        return 1.0
+    errs = np.asarray(errs, np.float64)
+    cummean = np.cumsum(errs) / (np.arange(errs.size) + 1)
+    recall_at_tp = (np.arange(errs.size) + 1) / n_gt
+    first_ind = int(round(MIN_RECALL * (N_RECALL_SAMPLES - 1))) + 1
+    last_ind = int(np.floor(recall_at_tp[-1] * (N_RECALL_SAMPLES - 1) + 1e-9))
+    if last_ind < first_ind:
+        return 1.0
+    r_samples = np.linspace(0.0, 1.0, N_RECALL_SAMPLES)
+    curve = np.interp(r_samples, recall_at_tp, cummean)
+    return float(np.mean(curve[first_ind : last_ind + 1]))
+
+
 def _average_precision(tp: np.ndarray, n_gt: int) -> float:
     """nuScenes-style AP: 101 recall samples, sub-10% recall/precision
     clipped, renormalized. ``tp`` is already confidence-ordered."""
@@ -148,19 +172,25 @@ def evaluate_detections(
         results[f"AP/{cname}"] = ap
         aps.append(ap)
 
-        # TP errors at the fixed 2 m threshold
-        _tp, _conf, _n, pairs = _match_class(preds_c, gts_c, TP_THRESHOLD_M)
+        # TP errors at the fixed 2 m threshold, protocol aggregation:
+        # pairs come back in confidence order (greedy matching iterates by
+        # descending score), so the cumulative-mean/recall sampling of
+        # _protocol_tp_error applies directly
+        _tp, _conf, n_gt_c, pairs = _match_class(preds_c, gts_c, TP_THRESHOLD_M)
         if pairs:
             pc = np.stack([p["center"] for p, _ in pairs])
             gc = np.stack([g["center"] for _, g in pairs])
-            ate = float(np.mean(np.sqrt(np.sum((pc - gc) ** 2, axis=-1))))
+            ate_per = np.sqrt(np.sum((pc - gc) ** 2, axis=-1))
             ps = np.stack([p["size"] for p, _ in pairs])
             gs = np.stack([g["size"] for _, g in pairs])
-            ase = float(np.mean(1.0 - _aligned_size_iou(ps, gs)))
+            ase_per = 1.0 - _aligned_size_iou(ps, gs)
             period = _YAW_PERIOD.get(cname, 2.0 * np.pi)
             py = np.asarray([p["yaw"] for p, _ in pairs])
             gy = np.asarray([g["yaw"] for _, g in pairs])
-            aoe = float(np.mean(_yaw_err(py, gy, period)))
+            aoe_per = _yaw_err(py, gy, period)
+            ate = _protocol_tp_error(ate_per, n_gt_c)
+            ase = _protocol_tp_error(ase_per, n_gt_c)
+            aoe = _protocol_tp_error(aoe_per, n_gt_c)
         else:  # no matches: maximal errors (nuScenes assigns 1.0)
             ate, ase, aoe = 1.0, 1.0, 1.0
         results[f"ATE/{cname}"] = ate

@@ -108,3 +108,30 @@ def test_average_precision_formula():
     assert _average_precision(np.asarray([], bool), 3) == 0.0
     # single FP
     assert _average_precision(np.asarray([False]), 1) == 0.0
+
+
+def test_tp_errors_use_recall_sampled_cummean():
+    """nuScenes calc_tp: errors accumulate as cumulative means in confidence
+    order over recall samples — accurate high-confidence matches weigh more
+    than sloppy low-confidence ones (a plain match mean would score 0.5)."""
+    gts = [_box(0, "car", 10.0 * i, 20.0) for i in range(10)]
+    preds = []
+    for i in range(10):
+        # first 5 (high score): perfect; last 5 (low score): 1 m off
+        off = 0.0 if i < 5 else 1.0
+        preds.append(_box(0, "car", 10.0 * i + off, 20.0, score=0.9 - 0.05 * i))
+    res = evaluate_detections(preds, gts, ["car"])
+    # cumulative mean rises from 0 toward 0.5 only over the later recall
+    # samples; the sampled average must sit strictly below the plain mean
+    assert 0.0 < res["ATE/car"] < 0.5
+
+
+def test_tp_error_is_one_below_min_recall():
+    """A class whose recall never reaches min_recall (10%) scores the
+    maximal TP error 1.0 even if its few matches are perfect."""
+    gts = [_box(0, "car", 10.0 * i, 20.0) for i in range(20)]
+    preds = [_box(0, "car", 0.0, 20.0, score=0.9)]  # 1/20 = 5% recall
+    res = evaluate_detections(preds, gts, ["car"])
+    assert res["ATE/car"] == pytest.approx(1.0)
+    assert res["ASE/car"] == pytest.approx(1.0)
+    assert res["AOE/car"] == pytest.approx(1.0)
