@@ -243,3 +243,51 @@ def test_resnet_block_fuse_param_compatible(rng):
     a = b0.apply({"params": params}, x)
     b = b1.apply({"params": params}, x)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+
+
+def test_group_norm_chunked_matches_reference(rng, monkeypatch):
+    """Streamed (chunked) GN kernels for VMEM-overflow shapes: forward and
+    custom backward vs the XLA reference, interpret mode. Shape chosen above
+    _MAX_BLOCK_ELEMENTS so the single-shot kernel cannot take it."""
+    from generative_detection_tpu.ops import norm as norm_mod
+
+    monkeypatch.setenv("GDT_PALLAS_INTERPRET", "1")
+    monkeypatch.setenv("GDT_GN_CHUNKED", "1")
+    shape = (2, 48, 48, 256)  # 589k elements/row > 512k limit
+    assert shape[1] * shape[2] * shape[3] > norm_mod._MAX_BLOCK_ELEMENTS
+    x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+    gamma = jnp.asarray(rng.normal(size=(256,)).astype(np.float32) + 1.0)
+    beta = jnp.asarray(rng.normal(size=(256,)).astype(np.float32))
+    co = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+
+    got = np.asarray(group_norm(x, gamma, beta, act="silu", use_pallas=True))
+    want = np.asarray(_gn_reference(x, gamma, beta, 32, 1e-6, "silu"))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def loss_pallas(x_, g_, b_):
+        return jnp.sum(group_norm(x_, g_, b_, act="silu", use_pallas=True) * co)
+
+    def loss_ref(x_, g_, b_):
+        return jnp.sum(_gn_reference(x_, g_, b_, 32, 1e-6, "silu") * co)
+
+    got_g = jax.grad(loss_pallas, argnums=(0, 1, 2))(x, gamma, beta)
+    want_g = jax.grad(loss_ref, argnums=(0, 1, 2))(x, gamma, beta)
+    for g, w in zip(got_g, want_g):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=2e-3, atol=2e-4)
+
+
+def test_group_norm_chunked_opt_in_only(rng, monkeypatch):
+    """Without GDT_GN_CHUNKED the overflow shape takes the XLA reference
+    (measured: XLA wins composed on v5e — same policy as the fused conv)."""
+    from unittest import mock
+
+    from generative_detection_tpu.ops import norm as norm_mod
+
+    monkeypatch.setenv("GDT_PALLAS_INTERPRET", "1")
+    monkeypatch.delenv("GDT_GN_CHUNKED", raising=False)
+    x = jnp.asarray(rng.normal(size=(1, 48, 48, 256)).astype(np.float32))
+    gamma = jnp.asarray(np.ones(256, np.float32))
+    beta = jnp.asarray(np.zeros(256, np.float32))
+    with mock.patch.object(norm_mod, "_make_gn_chunked_custom_vjp") as m:
+        group_norm(x, gamma, beta, act="silu", use_pallas=True)
+        m.assert_not_called()
