@@ -78,6 +78,9 @@ with mesh:
     )
     step_fn = jax.jit(make_train_step(model, opt_ae, opt_disc, phase="full"))
 
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    repl = NamedSharding(mesh, PartitionSpec())
     losses = []
     for i in range(2):
         rng = np.random.default_rng(100 + i)  # same batch content per step on
@@ -86,13 +89,23 @@ with mesh:
         cls = np.resize(np.asarray([0, 10], np.int32), global_bs)
         batch["class_id"] = cls
         batch["original_class_id"] = cls
-        prepared = model.prepare_batch(batch)
-        # local shard: contiguous block matching the mesh's device order
-        local = jax.tree.map(
-            lambda x: x[pid * local_bs : (pid + 1) * local_bs], prepared
+        # PRODUCTION order (Trainer.fit -> _device_prefetch): each process
+        # slices its RAW loader shard first, then runs prepare_batch on the
+        # local shard — so rescale_minmax normalizes per-rank exactly like a
+        # DDP rank normalizes its local GPU batch (ref autoencoder.py:434).
+        raw_local = jax.tree.map(
+            lambda x: x[pid * local_bs : (pid + 1) * local_bs], batch
         )
+        local = model.prepare_batch(raw_local)
         sharded = shard_batch(local, mesh)
-        state = state.replace(step=jnp.asarray(10 + i, jnp.int32))
+        # mesh-attached step scalar: a bare jnp scalar has a different aval
+        # sharding than the step output and would force a mid-loop recompile
+        # (multi-controller: host->global placement must go through
+        # make_array_from_process_local_data, device_put is single-process)
+        step_arr = jax.make_array_from_process_local_data(
+            repl, np.asarray(10 + i, np.int32)
+        )
+        state = state.replace(step=step_arr)
         if i == 0:
             step_fn.lower(state, sharded).compile()  # local, no collectives
             _barrier("gdt_mh_compiled")
