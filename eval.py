@@ -151,14 +151,9 @@ def main():
         b = rgb.shape[0]
         # real frame identity when the dataset emits it (nuscenes.py:568-570);
         # a sentinel -1 means "no grouping known" (synthetic datasets)
-        if "sample_idx" in batch and "cam_idx" in batch:
-            frame_ids = (
-                np.asarray(batch["sample_idx"], np.int64) * 64
-                + np.asarray(batch["cam_idx"], np.int64)
-            )
-        else:
-            frame_ids = np.full((b,), -1, np.int64)
-        all_frame.append(frame_ids)
+        from generative_detection_tpu.eval import frame_ids_from_batch
+
+        all_frame.append(frame_ids_from_batch(batch, b))
         patch_size = jnp.asarray(batch["patch_size"], jnp.float32).reshape(b, -1)[:, 0]
         center = jnp.asarray(batch["patch_center_2d"], jnp.float32).reshape(b, 2)
         resampling = jnp.asarray(batch["resampling_factor"], jnp.float32).reshape(b)

@@ -121,3 +121,24 @@ def recover_boxes(
 
     boxes = jnp.stack([x_world, y_world, z_world, l, h, w, yaw], axis=-1)
     return {"boxes_3d": boxes, "class_id": cls, "score": score, "logits": logits}
+
+
+def frame_ids_from_batch(batch, batch_size: int):
+    """Frame identity for the set-based evaluator.
+
+    Real datasets emit ``sample_idx``/``cam_idx`` per patch (data/
+    nuscenes.py:568-570); patches from the same camera frame must compete in
+    the nuScenes-style matching, so their frame id is
+    ``sample_idx * 64 + cam_idx`` (64 > any camera count). Datasets without
+    frame identity (synthetic) return the sentinel -1 for every patch — the
+    caller assigns each patch its own pseudo-frame, which keeps matching
+    honest (a prediction can only match its own patch's GT).
+    """
+    import numpy as np
+
+    if "sample_idx" in batch and "cam_idx" in batch:
+        return (
+            np.asarray(batch["sample_idx"], np.int64).reshape(-1) * 64
+            + np.asarray(batch["cam_idx"], np.int64).reshape(-1)
+        )
+    return np.full((batch_size,), -1, np.int64)

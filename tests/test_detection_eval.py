@@ -135,3 +135,35 @@ def test_tp_error_is_one_below_min_recall():
     assert res["ATE/car"] == pytest.approx(1.0)
     assert res["ASE/car"] == pytest.approx(1.0)
     assert res["AOE/car"] == pytest.approx(1.0)
+
+
+def test_frame_ids_from_batch_groups_real_frames():
+    """Patches from the same (sample_idx, cam_idx) share a frame id; the
+    set-based evaluator then lets them COMPETE in matching (multi-object
+    frames), while datasets without frame identity get the -1 sentinel."""
+    from generative_detection_tpu.eval import evaluate_detections, frame_ids_from_batch
+
+    batch = {
+        "sample_idx": np.asarray([3, 3, 3, 7]),
+        "cam_idx": np.asarray([0, 0, 1, 0]),
+        "patch": np.zeros((4, 8, 8, 3)),
+    }
+    fids = frame_ids_from_batch(batch, 4)
+    assert fids[0] == fids[1]  # same camera frame
+    assert fids[0] != fids[2]  # same sample, different camera
+    assert fids[2] != fids[3]
+    # no identity -> sentinel
+    assert (frame_ids_from_batch({"patch": batch["patch"]}, 4) == -1).all()
+
+    # multi-object frame: two GTs + two predictions in ONE frame, where the
+    # second prediction lands on the first GT's location — per-frame greedy
+    # matching must mark it FP (GT taken), which per-patch pseudo-frames
+    # could never express
+    f = int(fids[0])
+    gts = [_box(f, "car", 0.0, 20.0), _box(f, "car", 30.0, 20.0)]
+    preds = [
+        _box(f, "car", 0.0, 20.0, score=0.9),
+        _box(f, "car", 0.3, 20.0, score=0.8),  # duplicate on taken GT -> FP
+    ]
+    res = evaluate_detections(preds, gts, ["car"])
+    assert res["mAP"] < 0.6  # recall capped at 0.5 + an FP
