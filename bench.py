@@ -84,16 +84,10 @@ def build(bs: int, dtype: str):
             model, jax.random.PRNGKey(0), bs, opt_ae, opt_disc, mesh=mesh
         )
         mark("train_state")
-        # all terms active. NOTE the mesh-attached placement: a bare
-        # jnp.asarray scalar carries an empty sharding, which differs from
-        # the step OUTPUT's mesh-attached aval — the second call would then
-        # retrace and compile a second ~85 MB executable.
-        from jax.sharding import NamedSharding, PartitionSpec
+        from generative_detection_tpu.parallel import replicated_scalar
 
-        step40k = jax.device_put(
-            jnp.asarray(40000, jnp.int32), NamedSharding(mesh, PartitionSpec())
-        )
-        state = state.replace(step=step40k)
+        # all terms active (mesh-attached: see replicated_scalar docstring)
+        state = state.replace(step=replicated_scalar(40000, mesh, np.int32))
         prepared = shard_batch(model.prepare_batch(batch_host), mesh)
         mark("prepare_batch")
     return mesh, state, step_fn, prepared

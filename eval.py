@@ -82,11 +82,13 @@ def main():
     from generative_detection_tpu.parallel import create_mesh, shard_batch
 
     devices = jax.devices()
-    n_dev = len(devices) if data.batch_size % len(devices) == 0 else 1
+    n_dev = max(
+        n for n in range(1, len(devices) + 1) if data.batch_size % n == 0
+    )
     if n_dev != len(devices):
         logging.warning(
-            "batch_size %d not divisible by %d devices; evaluating on 1 device",
-            data.batch_size, len(devices),
+            "batch_size %d not divisible by %d devices; evaluating on %d",
+            data.batch_size, len(devices), n_dev,
         )
     mesh = create_mesh(devices[:n_dev])
 
@@ -230,13 +232,22 @@ def main():
         return d
 
     preds_set, gts_set = [], []
+    seen_gt = set()
     for f in range(pred_np.shape[0]):
         fid = int(frame_np[f]) if frame_np[f] >= 0 else (1 << 40) + f
         cid = int(cls_np[f])
         if 0 <= cid < len(LABEL_NAMES) and LABEL_NAMES[cid] != "background":
             preds_set.append(_sbox(fid, LABEL_NAMES[cid], pred_np[f], score_np[f]))
         if fg_np[f]:
-            gts_set.append(_sbox(fid, LABEL_NAMES[int(gtc_np[f])], gt_np[f]))
+            # dedupe identical GT instances within a frame: the patch dataset
+            # samples one instance per item (nuscenes.py:563) and skip-forward
+            # can land two items on the same camera frame, so the SAME
+            # physical box can arrive twice — counting it twice inflates the
+            # recall denominator and turns duplicate predictions into TPs
+            gt_key = (fid, int(gtc_np[f]), gt_np[f].tobytes())
+            if gt_key not in seen_gt:
+                seen_gt.add(gt_key)
+                gts_set.append(_sbox(fid, LABEL_NAMES[int(gtc_np[f])], gt_np[f]))
     set_metrics = evaluate_detections(
         preds_set, gts_set, [n for n in LABEL_NAMES if n != "background"]
     )

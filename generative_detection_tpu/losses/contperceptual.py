@@ -344,14 +344,20 @@ class PoseLoss(nn.Module):
         g_loss = -jnp.mean(logits_fake)
         return nll, w_nll, g_loss, jnp.mean(rec)
 
-    def nll_terms(
-        self, rgb_gt, dec_obj, class_gt, mask_2d_bbox, global_step, weights=None
-    ):
+    def nll_terms(self, rgb_gt, dec_obj, class_gt, mask_2d_bbox, global_step):
         """Reconstruction-NLL scalars only (no discriminator): ``(nll,
         weighted_nll, rec_mean)``. Split from ``rec_gan_terms`` so the
         adaptive-weight vjp for ``nll`` backprops through pixel+LPIPS ONLY —
         pulling it through the joint graph pays a dead discriminator
-        backward (and vice versa for ``g_term``)."""
+        backward (and vice versa for ``g_term``).
+
+        Deliberately takes NO per-sample ``weights``: with weights absent,
+        ``w_nll == nll`` elementwise, which is the invariant the train
+        step's surrogate-gradient reattachment relies on (it injects
+        d(nll)/dy as the gradient of w_nll — steps.py:_reattach_grad). The
+        reference never passes weights either (ref contperceptual.py:117);
+        the weighted path survives only in ``rec_gan_terms``/
+        ``generator_loss`` for log parity."""
         mask_bg = self._mask_bg(class_gt)
         use_pixel = global_step >= (
             self.encoder_pretrain_steps + self.pose_conditioned_generation_steps
@@ -359,7 +365,7 @@ class PoseLoss(nn.Module):
         inputs_rgb = rgb_gt * mask_2d_bbox
         recons_rgb = dec_obj * mask_2d_bbox
         rec = self._get_rec_loss(inputs_rgb, recons_rgb, use_pixel)
-        nll, w_nll = self._get_nll_loss(rec, mask_bg, weights)
+        nll, w_nll = self._get_nll_loss(rec, mask_bg, None)
         return nll, w_nll, jnp.mean(rec)
 
     def g_term(self, dec_obj, class_gt, mask_2d_bbox):

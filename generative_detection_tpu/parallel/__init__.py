@@ -2,6 +2,7 @@ from .mesh import (
     create_mesh,
     batch_sharding,
     replicated_sharding,
+    replicated_scalar,
     shard_batch,
     local_batch_size,
 )
@@ -10,6 +11,7 @@ __all__ = [
     "create_mesh",
     "batch_sharding",
     "replicated_sharding",
+    "replicated_scalar",
     "shard_batch",
     "local_batch_size",
 ]

@@ -68,6 +68,24 @@ def shard_batch(batch: Dict[str, Any], mesh: Mesh, axis: str = "data"):
     return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
 
 
+def replicated_scalar(value, mesh: Mesh, dtype=None):
+    """Place a host scalar replicated over the mesh.
+
+    Use this for values that feed jitted-step arguments whose other leaves
+    are mesh-attached (e.g. overriding ``TrainState.step``): a bare
+    ``jnp.asarray`` scalar carries an empty sharding, which differs from the
+    step OUTPUT's mesh-attached aval — the next call would then retrace and
+    compile a second copy of the (large) step executable. Multi-controller
+    processes must assemble global arrays from process-local data;
+    single-process placement is a plain device_put.
+    """
+    arr = np.asarray(value, dtype)
+    sharding = NamedSharding(mesh, P())
+    if jax.process_count() > 1:
+        return jax.make_array_from_process_local_data(sharding, arr)
+    return jax.device_put(arr, sharding)
+
+
 def local_batch_size(global_batch_size: int, mesh: Mesh, axis: str = "data") -> int:
     n = mesh.shape[axis]
     if global_batch_size % n != 0:

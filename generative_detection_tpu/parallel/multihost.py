@@ -47,10 +47,13 @@ def should_initialize() -> bool:
     - ``GDT_MULTIHOST=0``  -> never attempt (manual opt-out);
     - otherwise            -> attempt iff the launch environment implies a
       multi-process world: an explicit coordinator address, a TPU worker
-      list with >1 entries, or ``SLURM_NTASKS>1``. Plain single-host runs
-      match none of these, so startup never blocks on coordinator
-      discovery; real pods export multi-entry topology unconditionally, so
-      no user flag is needed there.
+      list with >1 entries, or an srun-launched step with >1 tasks
+      (``SLURM_STEP_NUM_TASKS`` — NOT the allocation-level ``SLURM_NTASKS``:
+      a bare ``python train.py`` inside ``salloc -n 4`` is a single process
+      and must not block on peers that will never connect). Plain
+      single-host runs match none of these, so startup never blocks on
+      coordinator discovery; real pods export multi-entry topology
+      unconditionally, so no user flag is needed there.
     """
     override = os.environ.get("GDT_MULTIHOST")
     if override == "1":
@@ -63,7 +66,7 @@ def should_initialize() -> bool:
         if len([h for h in os.environ.get(v, "").split(",") if h]) > 1:
             return True
     try:
-        return int(os.environ.get("SLURM_NTASKS", "1")) > 1
+        return int(os.environ.get("SLURM_STEP_NUM_TASKS", "1")) > 1
     except ValueError:
         return False
 

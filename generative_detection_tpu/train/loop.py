@@ -116,6 +116,7 @@ class Trainer:
         self.epoch = 0
         self.val_batch_idx = 0
         self._last_trainstep_saved = 0  # opt step 0 is never checkpointed
+        self._tree_add = None
         self.state: Optional[TrainState] = None
         self.interrupted = False
         self._train_fns: Dict[str, Any] = {}
@@ -468,7 +469,13 @@ class Trainer:
         n_batches = 0
         self.val_batch_idx = 0
         eval_rng = jax.random.PRNGKey(self.seed + 1)
-        tree_add = jax.jit(lambda a, b: jax.tree_util.tree_map(jnp.add, a, b))
+        if self._tree_add is None:  # one jitted fn for the whole run: a
+            # fresh lambda per validate() would discard the trace cache and
+            # retrace/recompile the add every epoch
+            self._tree_add = jax.jit(
+                lambda a, b: jax.tree_util.tree_map(jnp.add, a, b)
+            )
+        tree_add = self._tree_add
         for i, batch in enumerate(loader()):
             if self.limit_val_batches and i >= self.limit_val_batches:
                 break

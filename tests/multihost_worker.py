@@ -78,9 +78,8 @@ with mesh:
     )
     step_fn = jax.jit(make_train_step(model, opt_ae, opt_disc, phase="full"))
 
-    from jax.sharding import NamedSharding, PartitionSpec
+    from generative_detection_tpu.parallel import replicated_scalar
 
-    repl = NamedSharding(mesh, PartitionSpec())
     losses = []
     for i in range(2):
         rng = np.random.default_rng(100 + i)  # same batch content per step on
@@ -98,14 +97,9 @@ with mesh:
         )
         local = model.prepare_batch(raw_local)
         sharded = shard_batch(local, mesh)
-        # mesh-attached step scalar: a bare jnp scalar has a different aval
-        # sharding than the step output and would force a mid-loop recompile
-        # (multi-controller: host->global placement must go through
-        # make_array_from_process_local_data, device_put is single-process)
-        step_arr = jax.make_array_from_process_local_data(
-            repl, np.asarray(10 + i, np.int32)
-        )
-        state = state.replace(step=step_arr)
+        # mesh-attached step scalar (multi-controller-aware helper): a bare
+        # jnp scalar would force a mid-loop recompile
+        state = state.replace(step=replicated_scalar(10 + i, mesh, np.int32))
         if i == 0:
             step_fn.lower(state, sharded).compile()  # local, no collectives
             _barrier("gdt_mh_compiled")

@@ -148,7 +148,7 @@ def test_should_initialize_behavior_matrix(monkeypatch):
 
     for var in ("GDT_MULTIHOST", "JAX_COORDINATOR_ADDRESS",
                 "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES",
-                "TPU_PROCESS_ADDRESSES", "SLURM_NTASKS"):
+                "TPU_PROCESS_ADDRESSES", "SLURM_STEP_NUM_TASKS"):
         monkeypatch.delenv(var, raising=False)
     assert mh.should_initialize() is False
     # single-chip runtimes export a one-entry worker list: not a cluster
@@ -162,9 +162,15 @@ def test_should_initialize_behavior_matrix(monkeypatch):
     assert mh.should_initialize() is True
     monkeypatch.delenv("GDT_MULTIHOST")
     monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
-    monkeypatch.setenv("SLURM_NTASKS", "4")  # the reference's srun launch
+    # srun-launched step (the reference's launcher) counts ...
+    monkeypatch.setenv("SLURM_STEP_NUM_TASKS", "4")
     assert mh.should_initialize() is True
-    monkeypatch.setenv("SLURM_NTASKS", "1")
+    monkeypatch.setenv("SLURM_STEP_NUM_TASKS", "1")
+    assert mh.should_initialize() is False
+    # ... but an allocation-level task count alone (salloc shell) does NOT:
+    # a bare `python train.py` there is one process
+    monkeypatch.delenv("SLURM_STEP_NUM_TASKS")
+    monkeypatch.setenv("SLURM_NTASKS", "4")
     assert mh.should_initialize() is False
     monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234")
     assert mh.should_initialize() is True

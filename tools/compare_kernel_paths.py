@@ -53,9 +53,8 @@ def run(pallas):
         state = create_train_state(
             model, jax.random.PRNGKey(0), bs, opt_ae, opt_disc, mesh=mesh
         )
-        from jax.sharding import NamedSharding, PartitionSpec
-        state = state.replace(step=jax.device_put(
-            jnp.asarray(40000, jnp.int32), NamedSharding(mesh, PartitionSpec())))
+        from generative_detection_tpu.parallel import replicated_scalar
+        state = state.replace(step=replicated_scalar(40000, mesh, "int32"))
         fn = jax.jit(make_train_step(model, opt_ae, opt_disc, phase="full"))
         prep = shard_batch(model.prepare_batch(b), mesh)
         _, m = fn(state, prep)
