@@ -129,8 +129,10 @@ def run_bench(bs: int, dtype: str, steps: int):
 def main():
     # Persistent executable cache FIRST: the round-2 driver bench recorded the
     # XLA fallback because the probe + full-step compiles timed out against a
-    # degraded remote compile service. With the in-repo pre-warmed cache,
-    # compiles are disk reads and the Pallas path survives driver conditions.
+    # degraded remote compile service. The cache dir lives in-repo but
+    # UNTRACKED (.gitignore) — it is pre-warmed on the build/driver machine,
+    # where compiles become disk reads and the Pallas path survives driver
+    # conditions; a fresh clone warms it on first run.
     from generative_detection_tpu.utils.runtime import enable_persistent_cache
 
     cache_dir = enable_persistent_cache()

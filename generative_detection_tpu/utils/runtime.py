@@ -34,9 +34,10 @@ def enable_persistent_cache(cache_dir: str | None = None) -> str:
 
     Call before the first ``jax.jit`` dispatch. Idempotent. The directory
     resolves in priority order: explicit arg > ``JAX_COMPILATION_CACHE_DIR``
-    env > the in-repo ``.jax_cache/`` (which pre-warmed benchmark/train
-    compiles ship in, so driver runs never depend on the remote compile
-    service being healthy).
+    env > the in-repo (untracked) ``.jax_cache/``. On the build/driver
+    machine the directory holds pre-warmed benchmark/train executables, so
+    driver runs never depend on the remote compile service being healthy; a
+    fresh clone starts cold and warms it on first use.
     """
     global _ENABLED
     import jax
