@@ -195,8 +195,9 @@ def make_train_step(
                 d_weight = _adaptive_d_weight(g_nll_w, g_g_w, disc_weight_cfg)
                 active = jnp.logical_and(disc_factor_cfg > 0.0, step_g > pretrain)
                 d_weight = jax.lax.stop_gradient(jnp.where(active, d_weight, 0.0))
-                # the step always calls nll_terms with weights=None, where
-                # w_nll == nll elementwise, so d w_nll/dy == gy_nll exactly
+                # nll_terms is unweighted BY CONSTRUCTION (it takes no
+                # weights argument), so w_nll == nll elementwise and
+                # d w_nll/dy == gy_nll exactly
                 terms = (
                     nll,
                     _reattach_grad(w_nll, y, gy_nll),
