@@ -178,3 +178,100 @@ def test_train_step_sharded_over_mesh(setup, rng):
     new_state, metrics = step_fn(state, sharded)
     assert np.isfinite(float(metrics["aeloss"]))
     assert np.isfinite(float(metrics["discloss"]))
+
+
+def test_surrogate_dedupe_matches_naive_gradient(rng):
+    """The surrogate-gradient reattachment in the fused step (steps.py:
+    _reattach_grad — the round-3 dedupe of the LPIPS/discriminator
+    backwards) must produce the SAME generator gradient as the naive
+    formulation that lets autodiff re-differentiate the loss's primal
+    graphs. Same d_weight is fed to both so only the dedupe differs."""
+    from generative_detection_tpu.train.steps import (
+        _conv_out_kernel_grads,
+        _adaptive_d_weight,
+    )
+
+    m = small_model()
+    m.learning_rate = 1e-4
+    net, loss = m.net, m.loss
+    opt_ae, opt_disc = make_optimizers(m.learning_rate, grad_clip=1.0)
+    state = create_train_state(m, jax.random.PRNGKey(3), 2, opt_ae, opt_disc)
+    batch = _batch(m, rng)
+    step_g = jnp.asarray(50, jnp.int32)  # every term active
+    rngs = {
+        "sample": jax.random.PRNGKey(10),
+        "dropout": jax.random.PRNGKey(11),
+        "noise": jax.random.PRNGKey(12),
+    }
+    loss_params = state.loss_params
+    rgb = batch["rgb_gt"]
+
+    def outs_of(net_params):
+        return net.apply(
+            {"params": net_params}, rgb, step_g, phase="full", rngs=rngs
+        )
+
+    # fixed d_weight computed once (both formulations receive it verbatim)
+    outs0 = outs_of(state.net_params)
+    y0 = jax.lax.stop_gradient(outs0["dec_obj"])
+
+    def nll_fn(yy):
+        return loss.apply(
+            {"params": loss_params}, rgb, yy, batch["class_gt"],
+            batch["mask_2d_bbox"], step_g, method=loss.nll_terms,
+        )
+
+    def g_fn(yy):
+        return loss.apply(
+            {"params": loss_params}, yy, batch["class_gt"],
+            batch["mask_2d_bbox"], method=loss.g_term,
+        )
+
+    (_, _, _), vjp_nll = jax.vjp(nll_fn, y0)
+    g0, vjp_g = jax.vjp(g_fn, y0)
+    gy_nll = vjp_nll((jnp.ones(()), jnp.zeros(()), jnp.zeros(())))[0]
+    gy_g = vjp_g(jnp.ones(()))[0]
+    gn, gg = _conv_out_kernel_grads(state.net_params, outs0["pre_out"], (gy_nll, gy_g))
+    d_weight = jax.lax.stop_gradient(_adaptive_d_weight(gn, gg, loss.disc_weight))
+
+    def total_with(net_params, use_surrogate):
+        outs = outs_of(net_params)
+        y = outs["dec_obj"]
+        if use_surrogate:
+            from generative_detection_tpu.train.steps import _reattach_grad
+
+            y_det = jax.lax.stop_gradient(y)
+            (nll, w_nll, rec_mean), vjp_n = jax.vjp(nll_fn, y_det)
+            g_loss, vjp_gg = jax.vjp(g_fn, y_det)
+            terms = (
+                nll,
+                _reattach_grad(w_nll, y, vjp_n((jnp.ones(()), jnp.zeros(()), jnp.zeros(())))[0]),
+                _reattach_grad(g_loss, y, vjp_gg(jnp.ones(()))[0]),
+                rec_mean,
+            )
+        else:
+            terms = None  # generator_loss recomputes from y; autodiff flows
+        total, _log = loss.apply(
+            {"params": loss_params}, rgb, None, batch["pose_gt"], y,
+            outs["dec_pose"], batch["class_gt"], batch["class_orig_id"],
+            batch["bbox_gt"], batch["fill_factor_gt"], outs["posterior_obj"],
+            outs["bbox_posterior"], step_g, batch["mask_2d_bbox"],
+            d_weight=d_weight, split="train", rec_terms=terms,
+            method=loss.generator_loss,
+        )
+        return total
+
+    val_s, grads_s = jax.value_and_grad(lambda p: total_with(p, True))(state.net_params)
+    val_n, grads_n = jax.value_and_grad(lambda p: total_with(p, False))(state.net_params)
+    np.testing.assert_allclose(float(val_s), float(val_n), rtol=1e-5)
+    flat_s = jax.tree.leaves(grads_s)
+    flat_n = jax.tree.leaves(grads_n)
+    # fp32 reassociation noise is proportional to the GLOBAL gradient/loss
+    # magnitude (the composite loss is ~1e6); per-leaf relative tolerances
+    # would reject pure summation-order noise on near-zero leaves
+    global_scale = max(float(jnp.max(jnp.abs(b))) for b in flat_n)
+    for a, b in zip(flat_s, flat_n):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b),
+            rtol=2e-4, atol=1e-4 * global_scale,
+        )
