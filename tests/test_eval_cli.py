@@ -71,3 +71,16 @@ def test_eval_cli_device_preprocess(tmp_path):
     )
     assert np.isfinite(results["psnr"])
     assert np.isfinite(results["kl"])
+
+
+def test_eval_cli_sharded_matches_single_device(tmp_path):
+    """Data-parallel inference must be numerically consistent: the same
+    eval on an 8-device virtual mesh and on one device reports the same
+    reconstruction metrics (the jit computes global batch statistics via
+    collectives when sharded)."""
+    (tmp_path / "d8").mkdir()
+    (tmp_path / "d1").mkdir()
+    res8, _ = _run_eval(tmp_path / "d8", [], n_devices=8)
+    res1, _ = _run_eval(tmp_path / "d1", [], n_devices=1)
+    assert abs(res8["psnr"] - res1["psnr"]) < 1e-3 * max(abs(res1["psnr"]), 1)
+    assert abs(res8["kl"] - res1["kl"]) < 1e-3 * max(abs(res1["kl"]), 1)
