@@ -19,7 +19,10 @@ forwards per batch (Lightning's two-optimizer loop). That lands at
 autoencoder training logs at 256^2). BASELINE.json target: >=5x.
 
 Env knobs: GDT_BENCH_BS (default 16), GDT_BENCH_DTYPE (bfloat16|float32),
-GDT_BENCH_STEPS (default 10), GDT_USE_PALLAS (auto|0|1).
+GDT_BENCH_STEPS (default 10), GDT_USE_PALLAS (auto|0|1),
+GDT_BENCH_PHASE (full|pretrain — 'pretrain' measures the lean
+encoder-pretrain step that runs for the recipe's first 30k optimizer steps:
+no decoder, no LPIPS, no discriminator).
 """
 
 import json
@@ -34,7 +37,7 @@ import numpy as np
 BASELINE_A100_PATCHES_PER_SEC = 30.0
 
 
-def build(bs: int, dtype: str):
+def build(bs: int, dtype: str, phase: str = "full"):
     import time as _time
 
     t0 = _time.perf_counter()
@@ -64,7 +67,7 @@ def build(bs: int, dtype: str):
     mesh = create_mesh()
     opt_ae, opt_disc = make_optimizers(model.learning_rate, grad_clip=1.0)
     step_fn = jax.jit(
-        make_train_step(model, opt_ae, opt_disc, phase="full"), donate_argnums=(0,)
+        make_train_step(model, opt_ae, opt_disc, phase=phase), donate_argnums=(0,)
     )
 
     rng = np.random.default_rng(0)
@@ -86,14 +89,16 @@ def build(bs: int, dtype: str):
         mark("train_state")
         from generative_detection_tpu.parallel import replicated_scalar
 
-        # all terms active (mesh-attached: see replicated_scalar docstring)
-        state = state.replace(step=replicated_scalar(40000, mesh, np.int32))
+        # 'full': every loss term active; 'pretrain': inside the encoder-
+        # pretrain window (mesh-attached: see replicated_scalar docstring)
+        bench_step = 40000 if phase == "full" else 1000
+        state = state.replace(step=replicated_scalar(bench_step, mesh, np.int32))
         prepared = shard_batch(model.prepare_batch(batch_host), mesh)
         mark("prepare_batch")
     return mesh, state, step_fn, prepared
 
 
-def run_bench(bs: int, dtype: str, steps: int):
+def run_bench(bs: int, dtype: str, steps: int, phase: str = "full"):
     import jax
 
     from generative_detection_tpu.ops.dispatch import pallas_enabled
@@ -104,7 +109,7 @@ def run_bench(bs: int, dtype: str, steps: int):
         f"bench kernel path: pallas={used_pallas} "
         f"(probe {time.perf_counter() - t_start:.1f}s)\n"
     )
-    mesh, state, step_fn, batch = build(bs, dtype)
+    mesh, state, step_fn, batch = build(bs, dtype, phase)
     sys.stderr.write(f"build: {time.perf_counter() - t_start:.1f}s\n")
     with mesh:
         # warmup / compile. NOTE: synchronization is via an explicit
@@ -143,6 +148,7 @@ def main():
     bs = int(os.environ.get("GDT_BENCH_BS", "16"))
     dtype = os.environ.get("GDT_BENCH_DTYPE", "bfloat16")
     steps = int(os.environ.get("GDT_BENCH_STEPS", "10"))
+    phase = os.environ.get("GDT_BENCH_PHASE", "full")
     auto = os.environ.get("GDT_USE_PALLAS", "auto") == "auto"
 
     # Pre-flight: if the cached probe verdict is negative, retry it once
@@ -153,12 +159,12 @@ def main():
         dispatch.reset_probe()
 
     try:
-        value, aeloss, used_pallas = run_bench(bs, dtype, steps)
+        value, aeloss, used_pallas = run_bench(bs, dtype, steps, phase)
     except Exception as e:  # Pallas toolchain outage -> XLA fallback
         sys.stderr.write(f"bench retry with XLA kernels ({type(e).__name__}: {e})\n")
         os.environ["GDT_USE_PALLAS"] = "0"
         dispatch.reset_probe(clear_file_cache=False)
-        value, aeloss, used_pallas = run_bench(bs, dtype, steps)
+        value, aeloss, used_pallas = run_bench(bs, dtype, steps, phase)
         os.environ["GDT_USE_PALLAS"] = "auto"
 
     if auto and not used_pallas:
@@ -169,7 +175,7 @@ def main():
         dispatch.reset_probe()
         try:
             if dispatch.pallas_enabled():
-                value2, aeloss2, _ = run_bench(bs, dtype, steps)
+                value2, aeloss2, _ = run_bench(bs, dtype, steps, phase)
                 if np.isfinite(aeloss2) and value2 > value:
                     value, aeloss, used_pallas = value2, aeloss2, True
         except Exception as e:  # noqa: BLE001 — keep the XLA number
