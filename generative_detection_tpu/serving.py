@@ -69,22 +69,32 @@ def export_detector(
     net_params,
     hmin_table,
     hmax_table,
-    batch: int = 8,
+    batch: Optional[int] = 8,
     input_size: Optional[int] = None,
     platforms=None,
 ) -> bytes:
-    """Serialize the detector for ``batch`` patches to a StableHLO blob."""
+    """Serialize the detector to a StableHLO blob.
+
+    batch: a fixed batch size, or ``None`` for a BATCH-POLYMORPHIC artifact
+    (``jax.export`` symbolic dimension): one blob serves any batch size —
+    including per-device shards of a data-parallel serving mesh (see
+    ``shard_detector``) — instead of one export per deployment shape.
+    """
     size = input_size or getattr(model, "input_size", 256)
     detect = make_detector_fn(
         model, net_params, jnp.asarray(hmin_table), jnp.asarray(hmax_table), size
     )
+    if batch is None:
+        (b,) = jax.export.symbolic_shape("b")
+    else:
+        b = batch
     args = (
-        jax.ShapeDtypeStruct((batch, size, size, 3), jnp.float32),
-        jax.ShapeDtypeStruct((batch,), jnp.float32),
-        jax.ShapeDtypeStruct((batch, 2), jnp.float32),
-        jax.ShapeDtypeStruct((batch,), jnp.float32),
-        jax.ShapeDtypeStruct((batch, 2), jnp.float32),
-        jax.ShapeDtypeStruct((batch,), jnp.float32),
+        jax.ShapeDtypeStruct((b, size, size, 3), jnp.float32),
+        jax.ShapeDtypeStruct((b,), jnp.float32),
+        jax.ShapeDtypeStruct((b, 2), jnp.float32),
+        jax.ShapeDtypeStruct((b,), jnp.float32),
+        jax.ShapeDtypeStruct((b, 2), jnp.float32),
+        jax.ShapeDtypeStruct((b,), jnp.float32),
     )
     exported = jax.export.export(jax.jit(detect), platforms=platforms)(*args)
     return bytes(exported.serialize())
@@ -96,5 +106,35 @@ def load_detector(blob: bytes):
 
     def call(*args):
         return exported.call(*[jnp.asarray(a) for a in args])
+
+    return call
+
+
+def shard_detector(blob: bytes, mesh, axis: str = "data"):
+    """Data-parallel serving of a deserialized artifact over a device mesh.
+
+    Each device runs the exported function on its local batch shard
+    (``shard_map``; the artifact must be batch-polymorphic, or exported with
+    ``batch == global_batch // mesh.size``). Inputs are global arrays (or
+    host arrays, device_put automatically); outputs come back batch-sharded.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    exported = jax.export.deserialize(bytearray(blob))
+    spec = P(axis)
+    in_specs = (spec,) * 6
+    f = jax.jit(
+        jax.shard_map(
+            lambda *a: exported.call(*a),
+            mesh=mesh,
+            in_specs=in_specs,
+            out_specs=spec,
+            check_vma=False,
+        )
+    )
+    sharding = NamedSharding(mesh, spec)
+
+    def call(*args):
+        return f(*[jax.device_put(jnp.asarray(a), sharding) for a in args])
 
     return call
