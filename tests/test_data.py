@@ -324,3 +324,31 @@ def test_info_pkl_schema_variants(tmp_path):
     _write_pkl(tmp_path / "nuscenes_infos_train.pkl", 42)
     with pytest.raises(ValueError, match="expected a dict or list"):
         NuScenesTrain(**kw)
+
+
+def test_validate_nuscenes_preflight_tool(tmp_path):
+    """tools/validate_nuscenes.py runs every preflight stage against the
+    fake info-pkl fixture and reports ok + per-stage timings."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from validate_nuscenes import validate
+
+    root = _fake_infos(tmp_path, n_samples=3)
+    report = validate(str(root), check_images=2, items=6)
+    assert report["ok"], report["errors"]
+    assert report["stages"]["pkl"]["samples"] == 3
+    assert report["stages"]["images"]["checked"] > 0
+    assert report["stages"]["items"]["ran"] == 6
+    assert report["stages"]["items"]["failed"] == 0
+    assert report["stages"]["items"]["mean_ms"] is not None
+    # default h-minmax fallback is a warning, not an error
+    assert any("h-min/max" in w for w in report["warnings"])
+
+    # a wrong data_root fails fast with an actionable error
+    bad = validate(str(tmp_path / "nope"), check_images=2, items=2)
+    assert not bad["ok"] and any("not found" in e for e in bad["errors"])
+
+    # device-preprocess contract also dry-runs
+    rep2 = validate(str(root), check_images=1, items=4, device_preprocess=True)
+    assert rep2["ok"], rep2["errors"]
