@@ -35,6 +35,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 BASELINE_A100_PATCHES_PER_SEC = 30.0
+# Full fused step work (fwd+bwd incl. LPIPS/GAN/adaptive-weight pulls) and
+# the measured sustained MXU rate on this chip (docs/BENCH.md two-size fits):
+# together they put the 100%-MFU bound at ~126 patches/s.
+FLOP_PER_PATCH = 1.5  # TFLOP
+MEASURED_MXU_TFLOPS = 190.0
 
 
 def build(bs: int, dtype: str, phase: str = "full"):
@@ -167,32 +172,41 @@ def main():
         value, aeloss, used_pallas = run_bench(bs, dtype, steps, phase)
         os.environ["GDT_USE_PALLAS"] = "auto"
 
+    xla_value = None
     if auto and not used_pallas:
-        # The number of record should be the Pallas path whenever the
-        # toolchain works at all: reset the probe and rerun once; keep
-        # whichever number is better.
+        # The number of record is the PALLAS path whenever it runs and
+        # produces a finite loss — it is the intended production path.
+        # (ADVICE r3: recording max(xla, pallas) biased the number upward
+        # and made it non-reproducible run-to-run.) The XLA figure is kept
+        # in the JSON for visibility when a fallback happened.
         sys.stderr.write("XLA-fallback run recorded; retrying the Pallas path\n")
         dispatch.reset_probe()
         try:
             if dispatch.pallas_enabled():
                 value2, aeloss2, _ = run_bench(bs, dtype, steps, phase)
-                if np.isfinite(aeloss2) and value2 > value:
+                if np.isfinite(aeloss2):
+                    xla_value = value
                     value, aeloss, used_pallas = value2, aeloss2, True
         except Exception as e:  # noqa: BLE001 — keep the XLA number
             sys.stderr.write(f"pallas retry failed ({type(e).__name__}: {e})\n")
 
     assert np.isfinite(aeloss)
     sys.stderr.write(f"recorded kernel path: pallas={used_pallas}\n")
-    print(
-        json.dumps(
-            {
-                "metric": "train_patches_per_sec_per_chip",
-                "value": round(value, 2),
-                "unit": "patches/s/chip",
-                "vs_baseline": round(value / BASELINE_A100_PATCHES_PER_SEC, 3),
-            }
-        )
-    )
+    out = {
+        "metric": "train_patches_per_sec_per_chip",
+        "value": round(value, 2),
+        "unit": "patches/s/chip",
+        "vs_baseline": round(value / BASELINE_A100_PATCHES_PER_SEC, 3),
+        # self-locate the headline against this chip's physics: the full
+        # step is ~1.5 TFLOP/patch fwd+bwd and the measured sustained MXU
+        # rate on this v5e is ~190 TF/s => ~126 p/s at 100% MFU
+        # (docs/BENCH.md "Hardware ground truth")
+        "mfu_pct": round(100.0 * value * FLOP_PER_PATCH / MEASURED_MXU_TFLOPS, 1),
+        "pallas": bool(used_pallas),
+    }
+    if xla_value is not None:
+        out["xla_fallback_value"] = round(xla_value, 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

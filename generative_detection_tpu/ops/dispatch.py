@@ -156,12 +156,31 @@ def pallas_enabled() -> bool:
     if mode == "1":
         return True
     if _PALLAS_OK is None:
-        try:  # private jax symbol — may move/vanish across jax upgrades
-            from jax._src import core as _jax_core
+        trace_clean = None
+        for mod_name in ("jax.core", "jax._src.core"):  # public first
+            try:
+                import importlib
 
-            trace_clean = _jax_core.trace_state_clean()
-        except Exception:  # noqa: BLE001 — assume eager (the common call site)
-            trace_clean = True
+                mod = importlib.import_module(mod_name)
+                trace_clean = bool(mod.trace_state_clean())
+                break
+            except Exception:  # noqa: BLE001 — symbol moved/vanished
+                continue
+        if trace_clean is None:
+            # Cannot tell whether we are inside a jit trace. Be CONSERVATIVE:
+            # running the device probe here could be the exact tracer-leak /
+            # remote-compile-under-tracing hazard this check prevents. Use a
+            # fresh file-cache verdict if one exists, else XLA fallbacks for
+            # this call (without poisoning the process/file cache).
+            cached = _read_fresh_cache()
+            if cached is None:
+                logging.warning(
+                    "trace_state_clean unavailable in this jax version; "
+                    "using XLA fallbacks (no cached Pallas probe verdict)."
+                )
+                return False
+            _PALLAS_OK = cached
+            return _PALLAS_OK
         if not trace_clean:
             # First asked from INSIDE a jit trace (module code being traced):
             # running device probes here is unsafe (tracer leaks / remote
