@@ -82,12 +82,12 @@ def convert_backbone(sd: Dict, torch_prefix: str, ddconfig: Dict, is_encoder: bo
     n_levels = len(ch_mult)
     p = torch_prefix
     out: Dict = {
-        "conv_in": _conv(sd, f"{p}.conv_in"),
-        "norm_out": _norm(sd, f"{p}.norm_out"),
-        "conv_out": _conv(sd, f"{p}.conv_out"),
-        "mid_block_1": _resnet_block(sd, f"{p}.mid.block_1", False),
-        "mid_attn_1": _attn_block(sd, f"{p}.mid.attn_1"),
-        "mid_block_2": _resnet_block(sd, f"{p}.mid.block_2", False),
+        "conv_in": _try(_conv, sd, f"{p}.conv_in"),
+        "norm_out": _try(_norm, sd, f"{p}.norm_out"),
+        "conv_out": _try(_conv, sd, f"{p}.conv_out"),
+        "mid_block_1": _try(_resnet_block, sd, f"{p}.mid.block_1", False),
+        "mid_attn_1": _try(_attn_block, sd, f"{p}.mid.attn_1"),
+        "mid_block_2": _try(_resnet_block, sd, f"{p}.mid.block_2", False),
     }
     if is_encoder:
         curr_res = ddconfig["resolution"]
@@ -97,14 +97,16 @@ def convert_backbone(sd: Dict, torch_prefix: str, ddconfig: Dict, is_encoder: bo
             block_out = ch * ch_mult[i]
             for j in range(num_blocks):
                 has_sc = (block_in if j == 0 else block_out) != block_out
-                out[f"down_{i}_block_{j}"] = _resnet_block(
-                    sd, f"{p}.down.{i}.block.{j}", has_sc
+                out[f"down_{i}_block_{j}"] = _try(
+                    _resnet_block, sd, f"{p}.down.{i}.block.{j}", has_sc
                 )
                 if curr_res in attn_res:
-                    out[f"down_{i}_attn_{j}"] = _attn_block(sd, f"{p}.down.{i}.attn.{j}")
+                    out[f"down_{i}_attn_{j}"] = _try(
+                        _attn_block, sd, f"{p}.down.{i}.attn.{j}"
+                    )
             if i != n_levels - 1:
                 out[f"down_{i}_downsample"] = {
-                    "conv": _conv(sd, f"{p}.down.{i}.downsample.conv")
+                    "conv": _try(_conv, sd, f"{p}.down.{i}.downsample.conv")
                 }
                 curr_res //= 2
     else:
@@ -114,54 +116,106 @@ def convert_backbone(sd: Dict, torch_prefix: str, ddconfig: Dict, is_encoder: bo
             block_out = ch * ch_mult[i]
             for j in range(num_blocks + 1):
                 has_sc = (block_in if j == 0 else block_out) != block_out
-                out[f"up_{i}_block_{j}"] = _resnet_block(sd, f"{p}.up.{i}.block.{j}", has_sc)
+                out[f"up_{i}_block_{j}"] = _try(
+                    _resnet_block, sd, f"{p}.up.{i}.block.{j}", has_sc
+                )
                 if curr_res in attn_res:
-                    out[f"up_{i}_attn_{j}"] = _attn_block(sd, f"{p}.up.{i}.attn.{j}")
+                    out[f"up_{i}_attn_{j}"] = _try(
+                        _attn_block, sd, f"{p}.up.{i}.attn.{j}"
+                    )
             block_in = block_out
             if i != 0:
-                out[f"up_{i}_upsample"] = {"conv": _conv(sd, f"{p}.up.{i}.upsample.conv")}
+                out[f"up_{i}_upsample"] = {
+                    "conv": _try(_conv, sd, f"{p}.up.{i}.upsample.conv")
+                }
                 curr_res *= 2
-    return out
+    return _prune(out)
+
+
+def _try(fn, *args, **kwargs):
+    """Build one converted subtree, or None when its torch keys are absent —
+    the reference loads checkpoints with ``strict=False`` after deleting
+    ``ignore_keys`` prefixes (ldm init_from_ckpt), so a filtered state_dict
+    must convert as a PARTIAL overlay, not KeyError."""
+    try:
+        return fn(*args, **kwargs)
+    except KeyError:
+        return None
+
+
+def _prune(tree):
+    """Drop None/empty entries left by ``_try`` so ``overlay_params`` only
+    touches leaves the checkpoint actually provides."""
+    if isinstance(tree, dict):
+        out = {}
+        for k, v in tree.items():
+            v = _prune(v)
+            if v is None or (isinstance(v, dict) and not v):
+                continue
+            out[k] = v
+        return out
+    return tree
 
 
 def convert_pose_autoencoder(sd: Dict, ddconfig: Dict) -> Tuple[Dict, Dict]:
-    """Full PoseAutoencoder state_dict -> (net_params, loss_params_overlay)."""
-    net = {
-        "encoder": convert_backbone(sd, "encoder", ddconfig, is_encoder=True),
-        "decoder": convert_backbone(sd, "decoder", ddconfig, is_encoder=False),
-        "quant_conv_obj": _conv(sd, "quant_conv_obj"),
-        "quant_conv_pose": _conv(sd, "quant_conv_pose"),
-        "post_quant_conv": _conv(sd, "post_quant_conv"),
+    """Full PoseAutoencoder state_dict -> (net_params, loss_params_overlay).
+
+    Both returns are PARTIAL overlays: subtrees whose torch keys were removed
+    by ``ignore_keys`` (or never saved) are simply absent."""
+    net = _prune({
+        "encoder": _try(convert_backbone, sd, "encoder", ddconfig, is_encoder=True),
+        "decoder": _try(convert_backbone, sd, "decoder", ddconfig, is_encoder=False),
+        "quant_conv_obj": _try(_conv, sd, "quant_conv_obj"),
+        "quant_conv_pose": _try(_conv, sd, "quant_conv_pose"),
+        "post_quant_conv": _try(_conv, sd, "post_quant_conv"),
         "pose_decoder": {
-            "fc_in": _dense(sd, "pose_decoder.layers.0"),
-            "fc_1": _dense(sd, "pose_decoder.layers.2"),
-            "fc_out": _dense(sd, "pose_decoder.layers.4"),
+            "fc_in": _try(_dense, sd, "pose_decoder.layers.0"),
+            "fc_1": _try(_dense, sd, "pose_decoder.layers.2"),
+            "fc_out": _try(_dense, sd, "pose_decoder.layers.4"),
         },
         "pose_encoder": {
-            "coord_linear": _dense(sd, "pose_encoder.coord_linear"),
-            "latent_linear": _dense(sd, "pose_encoder.latent_linear", bias=False),
-            "fc_1": _dense(sd, "pose_encoder.layers.1"),
-            "fc_out": _dense(sd, "pose_encoder.layers.3"),
+            "coord_linear": _try(_dense, sd, "pose_encoder.coord_linear"),
+            "latent_linear": _try(_dense, sd, "pose_encoder.latent_linear", bias=False),
+            "fc_1": _try(_dense, sd, "pose_encoder.layers.1"),
+            "fc_out": _try(_dense, sd, "pose_encoder.layers.3"),
         },
-    }
+    })
+    return net, _loss_overlay(sd)
+
+
+def _loss_overlay(sd: Dict) -> Dict:
+    """Shared loss-module overlay: learned logvar + taming
+    NLayerDiscriminator (Sequential indices for n_layers=3)."""
     loss_overlay: Dict = {}
     if "loss.logvar" in sd:
         loss_overlay["logvar"] = np.asarray(sd["loss.logvar"]).reshape(())
-    # taming NLayerDiscriminator Sequential indices for n_layers=3:
-    # 0 conv, 2/5/8 convs, 3/6/9 batchnorms, 11 final conv
     disc_map = {"conv_0": 0, "conv_1": 2, "conv_2": 5, "conv_3": 8, "conv_out": 11}
     bn_map = {"bn_1": 3, "bn_2": 6, "bn_3": 9}
     if "loss.discriminator.main.0.weight" in sd:
         disc: Dict = {}
         for name, idx in disc_map.items():
             key = f"loss.discriminator.main.{idx}"
-            disc[name] = (
-                _conv(sd, key) if f"{key}.bias" in sd else _conv_nobias(sd, key)
+            disc[name] = _try(
+                _conv if f"{key}.bias" in sd else _conv_nobias, sd, key
             )
         for name, idx in bn_map.items():
-            disc[name] = _norm(sd, f"loss.discriminator.main.{idx}")
-        loss_overlay["discriminator"] = disc
-    return net, loss_overlay
+            disc[name] = _try(_norm, sd, f"loss.discriminator.main.{idx}")
+        loss_overlay["discriminator"] = _prune(disc)
+    return _prune(loss_overlay)
+
+
+def convert_plain_autoencoder(sd: Dict, ddconfig: Dict) -> Tuple[Dict, Dict]:
+    """Plain ldm ``AutoencoderKL`` state_dict -> (net_params, loss_overlay)
+    (ref ``Autoencoder``, src/models/autoencoder.py:29-32 — single
+    ``quant_conv``/``post_quant_conv`` instead of the dual pose/obj split).
+    Partial-overlay semantics identical to ``convert_pose_autoencoder``."""
+    net = _prune({
+        "encoder": _try(convert_backbone, sd, "encoder", ddconfig, is_encoder=True),
+        "decoder": _try(convert_backbone, sd, "decoder", ddconfig, is_encoder=False),
+        "quant_conv": _try(_conv, sd, "quant_conv"),
+        "post_quant_conv": _try(_conv, sd, "post_quant_conv"),
+    })
+    return net, _loss_overlay(sd)
 
 
 def load_torch_state_dict(path: str) -> Dict:

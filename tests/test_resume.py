@@ -101,3 +101,38 @@ def test_every_n_train_steps_counts_optimizer_steps(tmp_path):
     assert os.path.isdir(stream)
     steps = sorted(int(d) for d in os.listdir(stream) if d.isdigit())
     assert steps == [2, 4], steps  # opt steps, saved once each
+
+
+def test_restore_params_partial(tmp_path):
+    """Params-only restore (orbax partial restore): net params + step load
+    exactly, WITHOUT materializing optimizer states (eval.py's path)."""
+    cfg = load_yaml("configs/autoencoder/pose/tiny_cpu.yaml")
+    model = instantiate_from_config(cfg["model"])
+    model.learning_rate = 1e-4
+    data = instantiate_from_config(cfg["data"])
+    data.setup()
+
+    logdir = str(tmp_path / "run")
+    t = Trainer(model, logdir=logdir, max_epochs=1, max_steps=2,
+                limit_val_batches=1, step_counting="batch")
+    t.fit(data)
+
+    from generative_detection_tpu.train.checkpoint import CheckpointManager
+
+    # abstract template from eval_shape — zero allocation
+    abstract_net, abstract_loss = jax.eval_shape(
+        lambda r: model.init_variables(r, batch_size=data.batch_size),
+        jax.random.PRNGKey(0),
+    )
+    mgr = CheckpointManager(logdir + "/checkpoints", monitor="val/rec_loss")
+    out = mgr.restore_params(abstract_net, loss_template=abstract_loss)
+    assert set(out) == {"net_params", "loss_params", "step"}
+    assert int(out["step"]) == t.global_batch()
+    a = jax.tree.leaves(t.state.net_params)[0]
+    b = jax.tree.leaves(out["net_params"])[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # discriminator params came along via the loss template
+    d1 = jax.tree.leaves(t.state.loss_params["discriminator"])[0]
+    d2 = jax.tree.leaves(out["loss_params"]["discriminator"])[0]
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+    mgr.close()
