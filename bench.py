@@ -71,8 +71,12 @@ def build(bs: int, dtype: str, phase: str = "full"):
 
     mesh = create_mesh()
     opt_ae, opt_disc = make_optimizers(model.learning_rate, grad_clip=1.0)
+    from generative_detection_tpu.utils.runtime import step_compiler_options
+
     step_fn = jax.jit(
-        make_train_step(model, opt_ae, opt_disc, phase=phase), donate_argnums=(0,)
+        make_train_step(model, opt_ae, opt_disc, phase=phase),
+        donate_argnums=(0,),
+        compiler_options=step_compiler_options(),
     )
 
     rng = np.random.default_rng(0)

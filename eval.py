@@ -142,7 +142,9 @@ def main():
         )
         return outs["dec_obj"], outs["dec_pose"], outs["posterior_obj"].kl()
 
-    _infer = [jax.jit(_infer_impl)]
+    from generative_detection_tpu.utils.runtime import step_compiler_options
+
+    _infer = [jax.jit(_infer_impl, compiler_options=step_compiler_options())]
 
     def infer(net_params, rgb, step):
         """One-shot Pallas->XLA rebuild on kernel-toolchain failure (ADVICE

@@ -44,6 +44,50 @@ def _normalize_tensor(x: jnp.ndarray, eps: float = 1e-10) -> jnp.ndarray:
     return x / (norm + eps)
 
 
+def _tap_distance(a: jnp.ndarray, b: jnp.ndarray, kernel: jnp.ndarray,
+                  eps: float = 1e-10) -> jnp.ndarray:
+    """mean_HW sum_c w_c (a_hat - b_hat)_c^2 without materializing the
+    normalized tensors.
+
+    The naive form (normalize -> diff -> square -> 1x1 conv) costs two full
+    passes over each tap in the forward (channel-norm reduce + apply) and
+    more in the backward — the 8.3 ms ``multiply_reduce`` tail in the
+    round-3 step profile (docs/BENCH.md). Expanding the square,
+
+        sum_c w_c (a/na - b/nb)^2
+          = (sum w a^2)/na^2 + (sum w b^2)/nb^2 - 2 (sum w a b)/(na nb),
+
+    with na = ||a|| + eps (the reference ``x/(norm+eps)`` semantics), needs
+    only five sibling channel reductions over raw a, b — XLA fuses them into
+    ONE read of each tap, and the backward re-reads each tap once.
+
+    One deliberate refinement: na = sqrt(a2 + 1e-12) instead of
+    sqrt(a2) + eps. Values deviate by < 5e-13/||a||^2 relative and agree
+    exactly at ||a|| = 0 (every term there has a zero numerator either
+    way), but the gradient is finite everywhere — the reference form
+    (torch and the naive jnp port alike) emits NaN gradients at pixels
+    where a ReLU tap is all-zero across channels (sqrt'(0) = inf times a
+    zero cotangent), a real training hazard this formulation removes
+    (pinned by test). The floor is 1e-12 rather than eps^2 = 1e-20 because
+    the backward squares/cubes the floored variance (na^4 terms): 1e-40 is
+    subnormal in f32 and flushes to zero under XLA's FTZ, recreating the
+    0/0 NaN the floor exists to prevent; 1e-12's powers stay normal.
+    """
+    var_floor = 1e-12
+    a32 = a.astype(jnp.float32)
+    b32 = b.astype(jnp.float32)
+    w = kernel.reshape(-1).astype(jnp.float32)  # (C,) from the (1,1,C,1) head
+    a2 = jnp.sum(jnp.square(a32), axis=-1)
+    b2 = jnp.sum(jnp.square(b32), axis=-1)
+    a2w = jnp.sum(jnp.square(a32) * w, axis=-1)
+    b2w = jnp.sum(jnp.square(b32) * w, axis=-1)
+    abw = jnp.sum(a32 * b32 * w, axis=-1)
+    na = jnp.sqrt(a2 + var_floor)
+    nb = jnp.sqrt(b2 + var_floor)
+    val = a2w / jnp.square(na) + b2w / jnp.square(nb) - 2.0 * abw / (na * nb)
+    return jnp.mean(val, axis=(1, 2))[:, None, None, None]  # (B,1,1,1)
+
+
 class _VGG16Features(nn.Module):
     dtype: Any = jnp.float32
 
@@ -62,6 +106,20 @@ class _VGG16Features(nn.Module):
                 if conv_idx in _TAP_AFTER_CONV:
                     taps.append(h)
         return taps
+
+
+class _LinHead(nn.Module):
+    """Parameter-only stand-in for the 1x1 no-bias Conv head: same param
+    name ("kernel"), shape (1, 1, C, 1), and default init as nn.Conv, so the
+    checkpoint/converter layout and the seeded values are unchanged."""
+
+    in_features: int
+
+    @nn.compact
+    def __call__(self) -> jnp.ndarray:
+        return self.param(
+            "kernel", nn.initializers.lecun_normal(), (1, 1, self.in_features, 1)
+        )
 
 
 class LPIPS(nn.Module):
@@ -83,11 +141,11 @@ class LPIPS(nn.Module):
 
         total = 0.0
         for i, (a, b) in enumerate(zip(taps_in, taps_rec)):
-            d = jnp.square(_normalize_tensor(a) - _normalize_tensor(b))
-            lin = nn.Conv(
-                1, (1, 1), use_bias=False, dtype=self.dtype, name=f"lin{i}"
-            )(d)
-            total = total + jnp.mean(lin, axis=(1, 2), keepdims=True)
+            # Same (1,1,C,1) "lin{i}/kernel" param tree as the nn.Conv head
+            # (identical name path => identical seeded init and converter
+            # layout); applied via the fused expanded-square distance.
+            kernel = _LinHead(in_features=a.shape[-1], name=f"lin{i}")()
+            total = total + _tap_distance(a, b, kernel)
         return total.astype(jnp.float32)
 
 

@@ -137,6 +137,109 @@ def _gn_stats(x32, num_groups):
 
 
 # ---------------------------------------------------------------------------
+# Custom-vjp XLA GroupNorm — opt-in (GDT_GN_XLA_VJP=1); measured even with
+# plain autodiff in the full flagship step (see dispatch note in group_norm).
+#
+# Two hypothesized problems with plain autodiff over ``_gn_reference`` on TPU
+# (round-3 xplane profile, docs/BENCH.md):
+#   1. the (B, L, G, Cg) group reshape splits the 128-lane channel dimension
+#      into G runs of Cg lanes, so every stats reduction lane-mangles and XLA
+#      emits layout-change copies around the ``convert_reduce`` fusions;
+#   2. the backward RECOMPUTES the forward statistics (mean/rstd) — one full
+#      extra HBM read of x per GN, sequenced before the m1/m2 reductions
+#      (the dependency chain prevents fusing the two passes).
+# This formulation fixes both: all big reductions run over the spatial axis
+# of (B, L, C) — channels stay on lanes, no relayout — with the group fold
+# done on tiny (B, C) tensors; and the vjp carries (mean_c, rstd_c) as
+# residuals so the backward is exactly two passes over (x, dy).
+# ---------------------------------------------------------------------------
+
+
+def _gn_colstats(x2, num_groups, eps):
+    """(B, L, C) f32 -> per-channel-broadcast (mean_c, rstd_c), each (B, 1, C).
+
+    Sibling per-channel sums (one fused read of x); the channel->group fold
+    happens on (B, C) scalars-per-lane, which is noise."""
+    b, l, c = x2.shape
+    cg = c // num_groups
+    colsum = jnp.sum(x2, axis=1)  # (B, C): lane-preserving
+    colsumsq = jnp.sum(jnp.square(x2), axis=1)
+    denom = float(l * cg)
+    s_g = jnp.sum(colsum.reshape(b, num_groups, cg), axis=-1)  # (B, G)
+    ss_g = jnp.sum(colsumsq.reshape(b, num_groups, cg), axis=-1)
+    mean_g = s_g / denom
+    var_g = jnp.maximum(ss_g / denom - jnp.square(mean_g), 0.0)
+    rstd_g = jax.lax.rsqrt(var_g + eps)
+    mean_c = jnp.repeat(mean_g, cg, axis=-1).reshape(b, 1, c)
+    rstd_c = jnp.repeat(rstd_g, cg, axis=-1).reshape(b, 1, c)
+    return mean_c, rstd_c
+
+
+@functools.lru_cache(maxsize=None)
+def _make_gn_xla_custom_vjp(num_groups: int, eps: float, act: Optional[str]):
+    def _apply(x2, mean_c, rstd_c, gamma, beta):
+        xhat = (x2.astype(jnp.float32) - mean_c) * rstd_c
+        z = xhat * gamma.astype(jnp.float32).reshape(1, 1, -1) + beta.astype(
+            jnp.float32
+        ).reshape(1, 1, -1)
+        if act == "silu":
+            z = z * jax.nn.sigmoid(z)
+        return z.astype(x2.dtype)
+
+    @jax.custom_vjp
+    def fn(x, gamma, beta):
+        b, h, w, c = x.shape
+        x2 = x.reshape(b, h * w, c)
+        mean_c, rstd_c = _gn_colstats(x2.astype(jnp.float32), num_groups, eps)
+        return _apply(x2, mean_c, rstd_c, gamma, beta).reshape(b, h, w, c)
+
+    def fwd(x, gamma, beta):
+        b, h, w, c = x.shape
+        x2 = x.reshape(b, h * w, c)
+        mean_c, rstd_c = _gn_colstats(x2.astype(jnp.float32), num_groups, eps)
+        y = _apply(x2, mean_c, rstd_c, gamma, beta).reshape(b, h, w, c)
+        return y, (x, gamma, beta, mean_c, rstd_c)
+
+    def bwd(res, dy):
+        x, gamma, beta, mean_c, rstd_c = res
+        b, h, w, c = x.shape
+        l = h * w
+        cg = c // num_groups
+        x2 = x.reshape(b, l, c).astype(jnp.float32)
+        dy2 = dy.reshape(b, l, c).astype(jnp.float32)
+        g32 = gamma.astype(jnp.float32).reshape(1, 1, c)
+        xhat = (x2 - mean_c) * rstd_c  # recomputed in-register both passes
+
+        if act == "silu":
+            z = xhat * g32 + beta.astype(jnp.float32).reshape(1, 1, c)
+            sig = jax.nn.sigmoid(z)
+            dz = dy2 * sig * (1.0 + z * (1.0 - sig))
+        else:
+            dz = dy2
+        dxhat = dz * g32
+
+        # pass 1: four sibling per-channel reductions — ONE fused read of
+        # (x, dy); channel lanes intact
+        r_dgamma = jnp.sum(dz * xhat, axis=(0, 1))  # (C,)
+        r_dbeta = jnp.sum(dz, axis=(0, 1))
+        r_m1 = jnp.sum(dxhat, axis=1)  # (B, C)
+        r_m2 = jnp.sum(dxhat * xhat, axis=1)
+        denom = float(l * cg)
+        m1_g = jnp.sum(r_m1.reshape(b, num_groups, cg), axis=-1) / denom
+        m2_g = jnp.sum(r_m2.reshape(b, num_groups, cg), axis=-1) / denom
+        m1_c = jnp.repeat(m1_g, cg, axis=-1).reshape(b, 1, c)
+        m2_c = jnp.repeat(m2_g, cg, axis=-1).reshape(b, 1, c)
+
+        # pass 2: dx — second read of (x, dy), one write
+        dx2 = (dxhat - m1_c - xhat * m2_c) * rstd_c
+        dx = dx2.reshape(b, h, w, c).astype(x.dtype)
+        return dx, r_dgamma.astype(gamma.dtype), r_dbeta.astype(beta.dtype)
+
+    fn.defvjp(fwd, bwd)
+    return fn
+
+
+# ---------------------------------------------------------------------------
 # Chunked kernels for feature maps whose batch row exceeds VMEM (e.g.
 # 256x256x128 = 8.4M elements). The single-shot kernel above needs the whole
 # row resident; these stream row tiles of ``lt`` spatial positions and
@@ -469,4 +572,13 @@ def group_norm(
             return _make_gn_chunked_custom_vjp(num_groups, eps, act, interpret)(
                 x, gamma, beta
             )
+    if os.environ.get("GDT_GN_XLA_VJP", "0") == "1" and c % num_groups == 0:
+        # Custom-vjp XLA path (saved stats + lane-preserving reductions).
+        # Measured DEAD EVEN with plain autodiff inside the full flagship
+        # step (224.3 vs 224.1 ms/step, bs16 bf16, 30-step A/B via
+        # tools/ab_step.py): XLA already co-fuses the stats recompute with
+        # the backward reductions, so saving the residuals buys nothing
+        # in-graph. Kept opt-in for shapes/graphs where autodiff fails to
+        # fuse; GDT_GN_XLA_VJP=1 enables it.
+        return _make_gn_xla_custom_vjp(num_groups, eps, act)(x, gamma, beta)
     return _gn_reference(x, gamma, beta, num_groups, eps, act)

@@ -49,6 +49,7 @@ def _device_prefetch(iterator, model, mesh, depth: int = 2):
     while buf:
         yield buf.popleft()
 from ..parallel.multihost import is_main_process
+from ..utils.runtime import step_compiler_options
 from .callbacks import Callback, CheckpointCallback
 from .checkpoint import CheckpointManager, save_on_signal
 from .metrics import MetricsLogger
@@ -181,6 +182,7 @@ class Trainer:
                     accumulate_grad_batches=self.accumulate_grad_batches,
                 ),
                 donate_argnums=(0,),
+                compiler_options=step_compiler_options(),
             )
             self._train_fns = {"pretrain": plain, "full": plain}
             return
@@ -196,6 +198,7 @@ class Trainer:
                     accumulate_grad_batches=self.accumulate_grad_batches,
                 ),
                 donate_argnums=(0,),
+                compiler_options=step_compiler_options(),
             )
             for phase in ("pretrain", "full")
         }
@@ -222,7 +225,9 @@ class Trainer:
                     split=split,
                     accumulate_grad_batches=self.accumulate_grad_batches,
                 )
-            self._eval_fns[split] = jax.jit(fn)
+            self._eval_fns[split] = jax.jit(
+                fn, compiler_options=step_compiler_options()
+            )
         return self._eval_fns[split]
 
     @staticmethod

@@ -63,3 +63,30 @@ def enable_persistent_cache(cache_dir: str | None = None) -> str:
 
 def persistent_cache_enabled() -> bool:
     return _ENABLED
+
+
+def step_compiler_options() -> dict | None:
+    """XLA:TPU compiler options for jitting graphs that may contain the
+    custom flash-attention kernel (``ops/attention.py::_attention_custom``).
+
+    Its one-pass backward holds full-length K/V blocks plus two (L, C) f32
+    accumulators in scoped VMEM — ~20.4 MiB at the flagship's 4096x256
+    attention site, over the 16 MiB default cap (v5e has 128 MiB of VMEM
+    total). Raising the cap to 32 MiB admits the kernel; the control A/B
+    (docs/BENCH.md round 4) shows the raised cap alone changes nothing else
+    (223.2 ms/step with the library kernel under either cap), while the
+    admitted custom kernel is −10 ms/step.
+
+    Returns None when the custom kernel cannot engage: off-TPU (the CPU
+    compiler rejects TPU flag names — unit tests and the virtual-mesh
+    dryrun must not see it) or when dispatch routes attention elsewhere.
+    """
+    import jax
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        return None
+    from generative_detection_tpu.ops.dispatch import pallas_enabled
+
+    if not pallas_enabled() or os.environ.get("GDT_ATTN_IMPL", "custom") == "lib":
+        return None
+    return {"xla_tpu_scoped_vmem_limit_kib": "32768"}

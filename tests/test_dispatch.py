@@ -66,3 +66,33 @@ def test_reset_probe_clears_verdict(monkeypatch):
     dispatch.reset_probe()
     monkeypatch.setattr(dispatch, "_probe", lambda timeout_s=240: True)
     assert dispatch._cached_probe() is True  # file cache cleared -> re-probe
+
+
+def test_step_compiler_options_off_tpu(monkeypatch):
+    """The scoped-VMEM compiler option (needed by the custom flash-attention
+    backward, ops/attention.py) must never reach a non-TPU compile: the CPU
+    backend rejects TPU flag names, so on this CPU-pinned suite the helper
+    returns None regardless of the Pallas env knobs."""
+    from generative_detection_tpu.utils.runtime import step_compiler_options
+
+    monkeypatch.delenv("GDT_ATTN_IMPL", raising=False)
+    assert step_compiler_options() is None
+    monkeypatch.setenv("GDT_USE_PALLAS", "1")
+    assert step_compiler_options() is None
+
+
+def test_step_compiler_options_on_tpu(monkeypatch):
+    """On a TPU backend with Pallas dispatch active, the helper returns the
+    raised scoped-VMEM cap; GDT_ATTN_IMPL=lib (library kernel, fits the
+    default cap) turns it back off."""
+    import jax
+
+    from generative_detection_tpu.utils import runtime
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(dispatch, "pallas_enabled", lambda: True)
+    monkeypatch.delenv("GDT_ATTN_IMPL", raising=False)
+    opts = runtime.step_compiler_options()
+    assert opts == {"xla_tpu_scoped_vmem_limit_kib": "32768"}
+    monkeypatch.setenv("GDT_ATTN_IMPL", "lib")
+    assert runtime.step_compiler_options() is None

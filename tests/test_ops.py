@@ -114,6 +114,59 @@ def test_flash_attention_interpret_matches_reference(rng, monkeypatch):
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
 
 
+def test_custom_attention_fwd_bwd_matches_reference(rng):
+    """The one-pass custom-vjp flash kernel (interpret mode): forward and all
+    three input grads vs plain autodiff over the reference formulation, at a
+    multi-q-block shape (L=512 > block_q is exercised on TPU; here L=256 with
+    block_q=128 forces q_steps > 1 through the same grid logic)."""
+    from generative_detection_tpu.ops import attention as attn_mod
+
+    q = jnp.asarray(rng.normal(size=(2, 256, 128)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(2, 256, 128)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(2, 256, 128)).astype(np.float32))
+    co = jnp.asarray(rng.normal(size=q.shape).astype(np.float32))
+
+    fn = attn_mod._make_attention_custom(128, True)  # q_steps = 2
+    got = np.asarray(fn(q, k, v))
+    want = np.asarray(_attention_reference(q, k, v))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+    def loss_new(q_, k_, v_):
+        return jnp.sum(fn(q_, k_, v_) * co)
+
+    def loss_ref(q_, k_, v_):
+        return jnp.sum(_attention_reference(q_, k_, v_) * co)
+
+    g_new = jax.grad(loss_new, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for g, w in zip(g_new, g_ref):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=1e-3, atol=1e-4)
+
+
+def test_custom_attention_is_default_dispatch(rng, monkeypatch):
+    """GDT_ATTN_IMPL default routes the Pallas path through the custom
+    kernel; =lib restores the library flash kernel (interpret mode follows
+    the same selection)."""
+    from unittest import mock
+
+    from generative_detection_tpu.ops import attention as attn_mod
+
+    q = jnp.asarray(rng.normal(size=(1, 256, 128)).astype(np.float32))
+    monkeypatch.setenv("GDT_PALLAS_INTERPRET", "1")
+    monkeypatch.delenv("GDT_ATTN_IMPL", raising=False)
+    with mock.patch.object(
+        attn_mod, "_attention_custom", wraps=attn_mod._attention_custom
+    ) as m:
+        got = single_head_attention(q, q, q, use_pallas=True)
+        m.assert_called_once()
+    want = np.asarray(_attention_reference(q, q, q))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-3, atol=1e-4)
+    monkeypatch.setenv("GDT_ATTN_IMPL", "lib")
+    with mock.patch.object(attn_mod, "_attention_custom") as m:
+        single_head_attention(q, q, q, use_pallas=True)
+        m.assert_not_called()
+
+
 def _np_mmcv_focal(logits, targets, gamma=2.0, alpha=0.25):
     n, c = logits.shape
     onehot = np.eye(c + 1)[targets][:, :c]
@@ -291,3 +344,56 @@ def test_group_norm_chunked_opt_in_only(rng, monkeypatch):
     with mock.patch.object(norm_mod, "_make_gn_chunked_custom_vjp") as m:
         group_norm(x, gamma, beta, act="silu", use_pallas=True)
         m.assert_not_called()
+
+
+def test_group_norm_xla_custom_vjp_matches_reference(rng, monkeypatch):
+    """The saved-stats XLA custom-vjp GN (the no-Pallas production path):
+    forward and all three grads vs plain autodiff over the reference form,
+    with and without the fused SiLU."""
+    from generative_detection_tpu.ops import norm as norm_mod
+
+    monkeypatch.delenv("GDT_GN_XLA_VJP", raising=False)
+    for act in (None, "silu"):
+        x = jnp.asarray(rng.normal(size=(2, 16, 16, 128)).astype(np.float32))
+        gamma = jnp.asarray(rng.normal(size=(128,)).astype(np.float32) + 1.0)
+        beta = jnp.asarray(rng.normal(size=(128,)).astype(np.float32))
+        co = jnp.asarray(rng.normal(size=x.shape).astype(np.float32))
+
+        fn = norm_mod._make_gn_xla_custom_vjp(32, 1e-6, act)
+        got_y = np.asarray(fn(x, gamma, beta))
+        want_y = np.asarray(_gn_reference(x, gamma, beta, 32, 1e-6, act))
+        np.testing.assert_allclose(got_y, want_y, rtol=1e-4, atol=1e-5)
+
+        def loss_new(x_, g_, b_, fn=fn):
+            return jnp.sum(fn(x_, g_, b_) * co)
+
+        def loss_ref(x_, g_, b_, act=act):
+            return jnp.sum(_gn_reference(x_, g_, b_, 32, 1e-6, act) * co)
+
+        got = jax.grad(loss_new, argnums=(0, 1, 2))(x, gamma, beta)
+        want = jax.grad(loss_ref, argnums=(0, 1, 2))(x, gamma, beta)
+        for g, w in zip(got, want):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(w), rtol=2e-3, atol=2e-4)
+
+
+def test_group_norm_xla_custom_vjp_is_opt_in(rng, monkeypatch):
+    """The custom-vjp XLA GN measured even with plain autodiff in the full
+    step (docs/BENCH.md round 4), so it must stay opt-in: default routes
+    through plain autodiff; GDT_GN_XLA_VJP=1 enables it."""
+    from unittest import mock
+
+    from generative_detection_tpu.ops import norm as norm_mod
+
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 128)).astype(np.float32))
+    gamma = jnp.asarray(np.ones(128, np.float32))
+    beta = jnp.asarray(np.zeros(128, np.float32))
+    monkeypatch.delenv("GDT_GN_XLA_VJP", raising=False)
+    with mock.patch.object(norm_mod, "_make_gn_xla_custom_vjp") as m:
+        group_norm(x, gamma, beta, use_pallas=False)
+        m.assert_not_called()
+    monkeypatch.setenv("GDT_GN_XLA_VJP", "1")
+    with mock.patch.object(
+        norm_mod, "_make_gn_xla_custom_vjp", wraps=norm_mod._make_gn_xla_custom_vjp
+    ) as m:
+        group_norm(x, gamma, beta, use_pallas=False)
+        m.assert_called_once()
