@@ -34,6 +34,7 @@ from flax import linen as nn
 from ..ops import group_norm, single_head_attention
 from ..ops.fused_conv import fused_eligible, gn_silu_conv
 from ..ops.upsample import reference_upsample_conv, subpixel_upsample_conv
+from ..ops.winograd import winograd_conv3x3
 
 
 class GroupNormSiLU(nn.Module):
@@ -75,6 +76,12 @@ class Conv3x3(nn.Module):
         if gn_affine is not None:
             gamma, beta = gn_affine
             return gn_silu_conv(x, gamma, beta, kernel, bias)
+        if (
+            os.environ.get("GDT_WINOGRAD", "0") == "1"
+            and x.shape[1] % 2 == 0
+            and x.shape[2] % 2 == 0
+        ):
+            return winograd_conv3x3(x, kernel, bias, dtype=self.dtype)
         out = jax.lax.conv_general_dilated(
             x.astype(self.dtype),
             kernel.astype(self.dtype),

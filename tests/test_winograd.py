@@ -1,0 +1,81 @@
+"""Winograd F(2x2, 3x3) conv equals XLA's direct conv (ops/winograd.py).
+
+Pins the transform algebra (exact in exact arithmetic), gradients through
+the Winograd graph, and the opt-in dispatch on the backbone's Conv3x3.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from generative_detection_tpu.ops.winograd import (
+    direct_conv3x3,
+    transform_kernel,
+    winograd_conv3x3,
+)
+
+
+@pytest.mark.parametrize(
+    "h,w,cin,cout", [(8, 8, 16, 16), (6, 10, 8, 24), (16, 16, 3, 32)]
+)
+def test_winograd_matches_direct_fp32(h, w, cin, cout):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, h, w, cin)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(3, 3, cin, cout)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.normal(size=(cout,)).astype(np.float32))
+    ref = direct_conv3x3(x, k, b)
+    got = winograd_conv3x3(x, k, b)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=3e-5, atol=3e-5)
+
+
+def test_kernel_transform_identity():
+    # U for the identity-ish kernel delta at center tap: G g G^T rows known.
+    k = np.zeros((3, 3, 1, 1), np.float32)
+    k[1, 1, 0, 0] = 1.0
+    u = np.asarray(transform_kernel(jnp.asarray(k)))[:, :, 0, 0]
+    g_center = np.array([0.0, 0.5, -0.5, 0.0], np.float32)
+    np.testing.assert_allclose(u, np.outer(g_center, g_center), atol=1e-7)
+
+
+def test_gradients_match_direct():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 4)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(3, 3, 4, 4)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.normal(size=(4,)).astype(np.float32))
+
+    gd = jax.grad(lambda k_, x_: jnp.sum(direct_conv3x3(x_, k_, b) ** 2), (0, 1))
+    gw = jax.grad(lambda k_, x_: jnp.sum(winograd_conv3x3(x_, k_, b) ** 2), (0, 1))
+    gk_d, gx_d = gd(k, x)
+    gk_w, gx_w = gw(k, x)
+    np.testing.assert_allclose(np.asarray(gk_w), np.asarray(gk_d), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gx_w), np.asarray(gx_d), rtol=1e-4, atol=1e-4)
+
+
+def test_bf16_error_within_kernel_path_tolerance():
+    # bf16 Winograd error must stay in the same class as the accepted
+    # Pallas-vs-XLA bf16 deltas (docs/BENCH.md numerics table, ~3e-3 rel).
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 32)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(3, 3, 32, 32)).astype(np.float32) * 0.1)
+    ref = direct_conv3x3(x, k, None, dtype=jnp.float32)
+    got = winograd_conv3x3(x, k, None, dtype=jnp.bfloat16).astype(jnp.float32)
+    denom = float(jnp.mean(jnp.abs(ref))) + 1e-8
+    rel = float(jnp.mean(jnp.abs(got - ref))) / denom
+    assert rel < 2e-2, rel
+
+
+def test_conv3x3_winograd_dispatch(monkeypatch):
+    from generative_detection_tpu.models.blocks import Conv3x3
+
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(1, 8, 8, 8)), jnp.float32)
+    monkeypatch.delenv("GDT_WINOGRAD", raising=False)
+    mod = Conv3x3(8)
+    params = mod.init(jax.random.PRNGKey(0), x)
+    y_direct = mod.apply(params, x)
+    monkeypatch.setenv("GDT_WINOGRAD", "1")
+    y_win = mod.apply(params, x)
+    np.testing.assert_allclose(
+        np.asarray(y_win), np.asarray(y_direct), rtol=3e-5, atol=3e-5
+    )
