@@ -31,6 +31,8 @@ whose 256^2/128^2 ResnetBlock convs are the hot shapes.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 from jax import lax
@@ -90,6 +92,11 @@ def winograd_conv3x3(
     m = jnp.einsum(
         "abnhwc,abco->abnhwo", vs, u, preferred_element_type=jnp.float32
     )  # (4,4,N,th,tw,Cout) fp32
+    # GDT_WINOGRAD_CAST=1 runs the output transform in the compute dtype —
+    # 4x fewer transform bytes if XLA materializes M, slightly more rounding
+    # (the MXU accumulation above stays fp32 either way).
+    if os.environ.get("GDT_WINOGRAD_CAST", "0") == "1":
+        m = m.astype(dtype)
 
     # Y = A^T M A, unrolled (entries 0/+-1).
     def at_rows(col):
