@@ -79,3 +79,29 @@ def test_conv3x3_winograd_dispatch(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(y_win), np.asarray(y_direct), rtol=3e-5, atol=3e-5
     )
+
+
+def test_full_train_step_with_winograd(monkeypatch, rng):
+    """The fused train step (fwd + both backwards + both Adams) composes
+    through the Winograd conv graph: finite losses, params update."""
+    from generative_detection_tpu.train import (
+        create_train_state,
+        make_optimizers,
+        make_train_step,
+    )
+    from tests.test_models import small_model
+    from tests.test_train_step import _batch
+
+    monkeypatch.setenv("GDT_WINOGRAD", "1")
+    m = small_model()
+    m.learning_rate = 1e-4
+    opt_ae, opt_disc = make_optimizers(m.learning_rate, grad_clip=1.0)
+    state = create_train_state(m, jax.random.PRNGKey(0), 2, opt_ae, opt_disc)
+    step_fn = jax.jit(make_train_step(m, opt_ae, opt_disc, step_counting="batch"))
+    new_state, metrics = step_fn(state, _batch(m, rng))
+    assert np.isfinite(float(metrics["aeloss"]))
+    assert np.isfinite(float(metrics["discloss"]))
+    changed = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), state.net_params, new_state.net_params
+    )
+    assert max(jax.tree.leaves(changed)) > 0.0
