@@ -35,6 +35,7 @@ from ..ops import group_norm, single_head_attention
 from ..ops.fused_conv import fused_eligible, gn_silu_conv
 from ..ops.upsample import reference_upsample_conv, subpixel_upsample_conv
 from ..ops.winograd import winograd_conv3x3
+from ..ops.winograd_pallas import wino_rows_conv3x3, wino_rows_eligible
 
 
 class GroupNormSiLU(nn.Module):
@@ -76,11 +77,10 @@ class Conv3x3(nn.Module):
         if gn_affine is not None:
             gamma, beta = gn_affine
             return gn_silu_conv(x, gamma, beta, kernel, bias)
-        if (
-            os.environ.get("GDT_WINOGRAD", "0") == "1"
-            and x.shape[1] % 2 == 0
-            and x.shape[2] % 2 == 0
-        ):
+        wino = os.environ.get("GDT_WINOGRAD", "0")
+        if wino == "pallas" and wino_rows_eligible(x.shape, self.features, self.dtype):
+            return wino_rows_conv3x3(x, kernel, bias, self.dtype)
+        if wino in ("1", "xla") and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
             return winograd_conv3x3(x, kernel, bias, dtype=self.dtype)
         out = jax.lax.conv_general_dilated(
             x.astype(self.dtype),

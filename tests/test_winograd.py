@@ -105,3 +105,54 @@ def test_full_train_step_with_winograd(monkeypatch, rng):
         lambda a, b: float(jnp.abs(a - b).max()), state.net_params, new_state.net_params
     )
     assert max(jax.tree.leaves(changed)) > 0.0
+
+
+# ---- Pallas row-Winograd kernel (interpret mode on CPU) --------------------
+
+
+@pytest.fixture()
+def interpret_env(monkeypatch):
+    monkeypatch.setenv("GDT_PALLAS_INTERPRET", "1")
+
+
+@pytest.mark.parametrize("h,w,cin,cout", [(8, 16, 8, 8), (6, 8, 4, 12)])
+def test_wino_rows_matches_direct_fp32(interpret_env, h, w, cin, cout):
+    from generative_detection_tpu.ops.winograd_pallas import wino_rows_conv3x3
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, h, w, cin)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(3, 3, cin, cout)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.normal(size=(cout,)).astype(np.float32))
+    ref = direct_conv3x3(x, k, b)
+    got = wino_rows_conv3x3(x, k, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=3e-5, atol=3e-5)
+
+
+def test_wino_rows_gradients(interpret_env):
+    from generative_detection_tpu.ops.winograd_pallas import wino_rows_conv3x3
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 4)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(3, 3, 4, 4)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.normal(size=(4,)).astype(np.float32))
+
+    gd = jax.grad(lambda k_, x_, b_: jnp.sum(direct_conv3x3(x_, k_, b_) ** 2), (0, 1, 2))
+    gw = jax.grad(
+        lambda k_, x_, b_: jnp.sum(wino_rows_conv3x3(x_, k_, b_) ** 2), (0, 1, 2)
+    )
+    for a, bb in zip(gd(k, x, b), gw(k, x, b)):
+        np.testing.assert_allclose(np.asarray(bb), np.asarray(a), rtol=1e-4, atol=1e-4)
+
+
+def test_conv3x3_pallas_winograd_dispatch(interpret_env, monkeypatch):
+    from generative_detection_tpu.models.blocks import Conv3x3
+
+    x = jnp.asarray(np.random.default_rng(3).normal(size=(1, 8, 8, 8)), jnp.float32)
+    mod = Conv3x3(8)
+    params = mod.init(jax.random.PRNGKey(0), x)
+    y_direct = mod.apply(params, x)
+    monkeypatch.setenv("GDT_WINOGRAD", "pallas")
+    y_win = mod.apply(params, x)
+    np.testing.assert_allclose(
+        np.asarray(y_win), np.asarray(y_direct), rtol=3e-5, atol=3e-5
+    )
