@@ -78,8 +78,10 @@ class Conv3x3(nn.Module):
             gamma, beta = gn_affine
             return gn_silu_conv(x, gamma, beta, kernel, bias)
         wino = os.environ.get("GDT_WINOGRAD", "0")
-        if wino == "pallas" and wino_rows_eligible(x.shape, self.features, self.dtype):
-            return wino_rows_conv3x3(x, kernel, bias, self.dtype)
+        if wino in ("pallas", "pallas4"):
+            m_out = 4 if wino == "pallas4" else 2
+            if wino_rows_eligible(x.shape, self.features, self.dtype, m_out):
+                return wino_rows_conv3x3(x, kernel, bias, self.dtype, m_out)
         if wino in ("1", "xla") and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
             return winograd_conv3x3(x, kernel, bias, dtype=self.dtype)
         out = jax.lax.conv_general_dilated(

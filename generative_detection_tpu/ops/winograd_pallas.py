@@ -1,33 +1,36 @@
-"""Pallas row-Winograd 3x3 conv: F(2,3) along H, direct along W — 2/3 the MACs.
+"""Pallas row-Winograd 3x3 conv: F(m,3) along H, direct along W.
 
 Why this shape of kernel:
 
 - The full 2-D Winograd F(2x2,3x3) (``ops.winograd`` — 4/9 MACs) needs a
   stride-2 de-interleave of image COLUMNS. Columns live on the sublane axis
   in VMEM, and Mosaic lowers sublane-strided reads as relayout copies (see
-  ops/fused_conv.py's misalignment notes) — measured on this chip, the extra
-  traffic cancels the FLOP saving (docs/BENCH.md round 4). The pure-XLA 2-D
+  ops/fused_conv.py's misalignment notes) — and the pure-XLA 2-D
   formulation round-trips a 4x-size transformed tensor through HBM instead.
 - Applying Winograd along ROWS only requires picking alternating (W, C)
   row planes — a free major-dim slice of a register value — and keeps the
   column direction on the proven masked-``pltpu.roll`` result-shift scheme
-  from ops/fused_conv.py. MAC count: 4 row-points x 3 column taps of
-  half-height matmuls = 12 x (H/2 . W) vs direct 9 x (H . W): a 1.5x
-  multiply reduction with zero layout hazards.
+  from ops/fused_conv.py.
+
+Two variants, selected by ``m_out`` (output rows per tile-row):
+
+- F(2,3): 4 row-points x 3 column taps of (H/2)-height matmuls vs direct's
+  9 x H — a 1.5x multiply reduction; transform coefficients {0, ±1, ±0.5}.
+- F(4,3): 6 row-points x 3 taps of (H/4)-height matmuls — a 2x reduction;
+  Lavin-Gray points {0, ±1, ±2, ∞}, coefficients up to ±8 and 1/24 (the
+  row transforms accumulate in fp32 before the bf16 MXU cast).
 
 Math (rows; columns stay a direct 3-tap conv):
 
-  V_a[t]   = sum_u BT[a, u] . z[2t + u - 1]          (4 adds: BT rows have
-  U[a, dx] = sum_ky G[a, ky] . K[ky, dx]              two +-1 entries each)
-  G_a      = sum_dx shift_dx(V_a @ U[a, dx])          (MXU, fp32 accum)
-  out[2t]   = G_0 + G_1 + G_2
-  out[2t+1] = G_1 - G_2 - G_3
+  V_a[t]   = sum_u BT[a, u] . z[m t + u - 1]
+  U[a, dx] = sum_ky G[a, ky] . K[ky, dx]
+  G_a      = sum_dx shift_dx(V_a @ U[a, dx])     (MXU, fp32 accumulate)
+  out[m t + i] = sum_a AT[i, a] . G_a[t]
 
-with BT/G/AT the F(2,3) matrices (entries {0, +-1, +-0.5}; exact in exact
-arithmetic). The backward reuses the SAME kernel for dz (a stride-1 SAME
-3x3 dgrad is a 3x3 conv with the spatially-rotated, io-swapped kernel) and
-XLA's native weight-grad conv via ``jax.linear_transpose`` (conv is linear
-in the kernel), so every pass gets either the MAC cut or XLA's tuned path.
+The backward reuses the SAME kernel for dz (a stride-1 SAME 3x3 dgrad is a
+3x3 conv with the spatially-rotated, io-swapped kernel) and XLA's native
+weight-grad conv via ``jax.linear_transpose`` (conv is linear in the
+kernel), so every pass gets either the MAC cut or XLA's tuned path.
 
 Grid/data movement: one program per (batch, row-tile); body rows plus one
 halo row DMA'd HBM->VMEM per tile (column-0-aligned); the only HBM write is
@@ -51,47 +54,82 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .dispatch import interpret_mode as _interpret
 
-# F(2,3) 1-D transform matrices.
-_G_ROWS = np.array(
-    [[1, 0, 0], [0.5, 0.5, 0.5], [0.5, -0.5, 0.5], [0, 0, 1]], np.float32
+# F(2,3) 1-D transforms.
+_BT2 = np.array(
+    [[1, 0, -1, 0], [0, 1, 1, 0], [0, -1, 1, 0], [0, 1, 0, -1]], np.float32
 )
+_G2 = np.array([[1, 0, 0], [0.5, 0.5, 0.5], [0.5, -0.5, 0.5], [0, 0, 1]], np.float32)
+_AT2 = np.array([[1, 1, 1, 0], [0, 1, -1, -1]], np.float32)
+
+# F(4,3) 1-D transforms (Lavin & Gray points {0, ±1, ±2, ∞}).
+_BT4 = np.array(
+    [
+        [4, 0, -5, 0, 1, 0],
+        [0, -4, -4, 1, 1, 0],
+        [0, 4, -4, -1, 1, 0],
+        [0, -2, -1, 2, 1, 0],
+        [0, 2, -1, -2, 1, 0],
+        [0, 4, 0, -5, 0, 1],
+    ],
+    np.float32,
+)
+_G4 = np.array(
+    [
+        [1 / 4, 0, 0],
+        [-1 / 6, -1 / 6, -1 / 6],
+        [-1 / 6, 1 / 6, -1 / 6],
+        [1 / 24, 1 / 12, 1 / 6],
+        [1 / 24, -1 / 12, 1 / 6],
+        [0, 0, 1],
+    ],
+    np.float32,
+)
+_AT4 = np.array(
+    [
+        [1, 1, 1, 1, 1, 0],
+        [0, 1, -1, 2, -2, 0],
+        [0, 1, 1, 4, 4, 0],
+        [0, 1, -1, 8, -8, 1],
+    ],
+    np.float32,
+)
+
+_MATS = {2: (_BT2, _G2, _AT2), 4: (_BT4, _G4, _AT4)}
 
 _VMEM_BUDGET = 10 * 1024 * 1024
 
 
-def transform_kernel_rows(kernel: jnp.ndarray) -> jnp.ndarray:
-    """(3, 3, Cin, Cout) -> (4, 3, Cin, Cout): U[a, dx] = sum_ky G[a,ky] K[ky,dx]."""
-    return jnp.einsum(
-        "ak,kxio->axio", _G_ROWS, kernel.astype(jnp.float32), precision="highest"
-    )
+def transform_kernel_rows(kernel: jnp.ndarray, m_out: int = 2) -> jnp.ndarray:
+    """(3, 3, Cin, Cout) -> (m_out+2, 3, Cin, Cout): U[a,dx] = sum G[a,ky] K[ky,dx]."""
+    g = _MATS[m_out][1]
+    return jnp.einsum("ak,kxio->axio", g, kernel.astype(jnp.float32), precision="highest")
 
 
-def _pick_tile(h: int, w: int, c: int, co: int, itemsize: int):
-    """Largest even row-tile TR dividing h with VMEM-provable scratch."""
+def _pick_tile(h: int, w: int, c: int, co: int, itemsize: int, m_out: int):
+    """Largest row-tile TR (multiple of m_out) dividing h that fits VMEM."""
+    n_pts = m_out + 2
     for tr in (32, 16, 8, 4, 2):
-        if h % tr:
+        if tr % m_out or h % tr:
             continue
         zs = (tr + 2) * w * c * itemsize
-        u = 12 * c * co * itemsize
-        acc = 4 * (tr // 2) * w * co * 4  # four fp32 G_a accumulators
+        u = 3 * n_pts * c * co * itemsize
+        acc = n_pts * (tr // m_out) * w * co * 4  # fp32 G_a accumulators
         out = 2 * tr * w * co * itemsize  # double-buffered out block
         if zs + u + acc + out <= _VMEM_BUDGET:
             return tr
     return None
 
 
-def _rows(val, phase, t2):
-    """Alternating rows {start + 2t + phase | t < t2} of a loaded (tr, W, C)
-    value — a major-dim slice of its (t2, 2, W, C) view (layout no-op)."""
-    return val.reshape(t2, 2, *val.shape[1:])[:, phase]
-
-
-def _wino_rows_kernel(z_hbm, u_ref, bias_ref, out_ref, zs, sem, *, tr, w, c, co):
+def _wino_rows_kernel(
+    z_hbm, u_ref, bias_ref, out_ref, zs, sem, *, tr, w, c, co, m_out
+):
+    bt, _, at = _MATS[m_out]
+    n_pts = m_out + 2
     bidx = pl.program_id(0)
     t = pl.program_id(1)
     r0 = t * tr
     n_t = pl.num_programs(1)
-    t2 = tr // 2
+    tm = tr // m_out
 
     body = pltpu.make_async_copy(
         z_hbm.at[bidx, pl.ds(r0, tr)], zs.at[pl.ds(1, tr)], sem.at[0]
@@ -122,33 +160,52 @@ def _wino_rows_kernel(z_hbm, u_ref, bias_ref, out_ref, zs, sem, *, tr, w, c, co)
     def _zb():
         zs[pl.ds(tr + 1, 1)] = jnp.zeros((1, w, c), zs.dtype)
 
+    # The hi load below reads tr rows from offset m_out; for m_out > 2 the
+    # scratch carries (m_out - 2) pad rows past the bottom halo that are
+    # never DMA'd — zero them so the over-read stays defined (their values
+    # are sliced away: only phases 0..1 of hi are consumed).
+    if m_out > 2:
+        zs[pl.ds(tr + 2, m_out - 2)] = jnp.zeros((m_out - 2, w, c), zs.dtype)
+
     body.wait()
 
-    # Row transform: each BT row has exactly two +-1 entries.
-    # V_0 = r0 - r2, V_1 = r1 + r2, V_2 = r2 - r1, V_3 = r1 - r3, where
-    # r_u = zs rows {2t + u}. Output row (2t + i) of this tile needs zs rows
-    # 2t .. 2t+3 (zs row g-r0+1 holds global row g; +1 is the halo offset,
-    # and the tile's first output needs global rows r0-1 .. — i.e. zs[0..]).
-    # Two aligned tr-row loads (offsets 0 and 2) each yield two of the four
-    # row sets r_u = zs rows {2t + u}: u = load_offset + phase.
-    m = t2 * w
-    lo = zs[pl.ds(0, tr)]
-    hi = zs[pl.ds(2, tr)]
+    # Row sets r_u = zs rows {m_out t + u | t < tm}, u = 0 .. m_out+1.
+    # Output row (m_out t + i) of this tile needs zs rows m_out t .. +m_out+1
+    # (zs row g - r0 + 1 holds global row g). Two aligned tr-row loads
+    # (offsets 0 and m_out) each expose m_out phases as free major-dim
+    # slices of their (tm, m_out, W, C) views.
+    m = tm * w
+    lo = zs[pl.ds(0, tr)].reshape(tm, m_out, w, c)
+    hi = zs[pl.ds(m_out, tr)].reshape(tm, m_out, w, c)
     r = [
-        _rows(lo, 0, t2).reshape(m, c),
-        _rows(lo, 1, t2).reshape(m, c),
-        _rows(hi, 0, t2).reshape(m, c),
-        _rows(hi, 1, t2).reshape(m, c),
+        (lo[:, u] if u < m_out else hi[:, u - m_out]).reshape(m, c)
+        for u in range(n_pts)
     ]
-    v = [r[0] - r[2], r[1] + r[2], r[2] - r[1], r[1] - r[3]]
 
-    # Column direction: direct 3 taps as tile-wide MXU matmuls; +-1 column
+    # V_a = sum_u BT[a, u] r_u — F(2,3) coefficients are ±1 (dtype adds);
+    # F(4,3) reaches ±5, so accumulate in fp32 before the MXU cast.
+    if m_out == 2:
+        v = [r[0] - r[2], r[1] + r[2], r[2] - r[1], r[1] - r[3]]
+    else:
+        rf = [x.astype(jnp.float32) for x in r]
+        v = []
+        for a in range(n_pts):
+            acc = None
+            for u in range(n_pts):
+                cf = float(bt[a, u])
+                if cf == 0.0:
+                    continue
+                term = rf[u] if cf == 1.0 else rf[u] * cf
+                acc = term if acc is None else acc + term
+            v.append(acc.astype(zs.dtype))
+
+    # Column direction: direct 3 taps as tile-wide MXU matmuls; ±1 column
     # shifts applied to the RESULTS via masked rolls (flat index f: adjacent
     # entries are adjacent columns; borders are f % w == 0 / w-1).
     fidx = jax.lax.broadcasted_iota(jnp.int32, (m, co), 0)
     col = jax.lax.rem(fidx, w)
     g = []
-    for a in range(4):
+    for a in range(n_pts):
         qs = [
             jax.lax.dot_general(
                 v[a],
@@ -162,36 +219,47 @@ def _wino_rows_kernel(z_hbm, u_ref, bias_ref, out_ref, zs, sem, *, tr, w, c, co)
         right = jnp.where(col < w - 1, pltpu.roll(qs[2], shift=m - 1, axis=0), 0.0)
         g.append(left + qs[1] + right)
 
+    # out[m_out t + i] = sum_a AT[i, a] G_a[t]  (integer coefficients, fp32).
     bias = bias_ref[0].astype(jnp.float32)
-    o0 = (g[0] + g[1] + g[2] + bias[None, :]).reshape(t2, 1, w, co)
-    o1 = (g[1] - g[2] - g[3] + bias[None, :]).reshape(t2, 1, w, co)
-    out = jnp.concatenate([o0, o1], axis=1).reshape(tr, w, co)
+    phases = []
+    for i in range(m_out):
+        acc = None
+        for a in range(n_pts):
+            cf = float(at[i, a])
+            if cf == 0.0:
+                continue
+            term = g[a] if cf == 1.0 else g[a] * cf
+            acc = term if acc is None else acc + term
+        phases.append((acc + bias[None, :]).reshape(tm, 1, w, co))
+    out = jnp.concatenate(phases, axis=1).reshape(tr, w, co)
     out_ref[0] = out.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("tr", "interpret"))
-def _wino_rows_pallas(z, u12, bias, tr, interpret=False):
+@functools.partial(jax.jit, static_argnames=("tr", "m_out", "interpret"))
+def _wino_rows_pallas(z, u3n, bias, tr, m_out, interpret=False):
     bsz, h, wd, c = z.shape
-    co = u12.shape[-1]
-    kernel = functools.partial(_wino_rows_kernel, tr=tr, w=wd, c=c, co=co)
+    co = u3n.shape[-1]
+    kernel = functools.partial(
+        _wino_rows_kernel, tr=tr, w=wd, c=c, co=co, m_out=m_out
+    )
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((bsz, h, wd, co), z.dtype),
         grid=(bsz, h // tr),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),  # z in HBM; manual halo DMA
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # U (12, C, CO)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # U (3*(m_out+2), C, CO)
             pl.BlockSpec((1, co), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, tr, wd, co), lambda bi, ti: (bi, ti, 0, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((tr + 2, wd, c), z.dtype),
+            pltpu.VMEM((tr + max(2, m_out), wd, c), z.dtype),
             pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=interpret,
-    )(z, u12, bias)
+    )(z, u3n, bias)
 
 
 def _direct(z, kernel, dtype):
@@ -204,47 +272,49 @@ def _direct(z, kernel, dtype):
     )
 
 
-def wino_rows_eligible(shape, cout, dtype) -> bool:
+def wino_rows_eligible(shape, cout, dtype, m_out: int = 2) -> bool:
     n, h, w, c = shape
-    if h % 2:
+    if h % m_out:
         return False
     itemsize = jnp.dtype(dtype).itemsize
     if not _interpret() and (c % 128 or cout % 128):
         return False
-    return _pick_tile(h, w, c, cout, itemsize) is not None
+    return _pick_tile(h, w, c, cout, itemsize, m_out) is not None
 
 
-def _fwd_impl(z, kernel, bias, dtype):
+def _fwd_impl(z, kernel, bias, dtype, m_out):
     n, h, w, c = z.shape
     co = kernel.shape[-1]
-    tr = _pick_tile(h, w, c, co, jnp.dtype(dtype).itemsize)
-    u12 = transform_kernel_rows(kernel).astype(dtype).reshape(12, c, co)
+    tr = _pick_tile(h, w, c, co, jnp.dtype(dtype).itemsize, m_out)
+    n_pts = m_out + 2
+    u = transform_kernel_rows(kernel, m_out).astype(dtype).reshape(3 * n_pts, c, co)
     b = (jnp.zeros((co,), jnp.float32) if bias is None else bias).astype(jnp.float32)
     return _wino_rows_pallas(
-        z.astype(dtype), u12, b.reshape(1, co), tr, interpret=_interpret()
+        z.astype(dtype), u, b.reshape(1, co), tr, m_out, interpret=_interpret()
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def wino_rows_conv3x3(z, kernel, bias, dtype=jnp.float32):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def wino_rows_conv3x3(z, kernel, bias, dtype=jnp.float32, m_out: int = 2):
     """3x3 stride-1 SAME conv via the row-Winograd Pallas kernel.
 
-    z: (N, H, W, Cin) with H even; kernel: (3, 3, Cin, Cout); bias: (Cout,)
-    or None. Gradients: dz through the same kernel (rotated weights), dW via
-    XLA's native weight-grad conv, db by reduction.
+    z: (N, H, W, Cin) with H % m_out == 0; kernel: (3, 3, Cin, Cout); bias:
+    (Cout,) or None; m_out: 2 (F(2,3), 1.5x MAC cut) or 4 (F(4,3), 2x).
+    Gradients: dz through the same kernel (rotated weights), dW via XLA's
+    native weight-grad conv, db by reduction.
     """
-    return _fwd_impl(z, kernel, bias, dtype)
+    return _fwd_impl(z, kernel, bias, dtype, m_out)
 
 
-def _wino_fwd(z, kernel, bias, dtype):
-    return _fwd_impl(z, kernel, bias, dtype), (z, kernel, bias is None)
+def _wino_fwd(z, kernel, bias, dtype, m_out):
+    return _fwd_impl(z, kernel, bias, dtype, m_out), (z, kernel, bias is None)
 
 
-def _wino_bwd(dtype, res, dy):
+def _wino_bwd(dtype, m_out, res, dy):
     z, kernel, no_bias = res
     # dgrad: SAME 3x3 dz = conv(dy, rot180(K) with in/out channels swapped).
     k_rot = kernel[::-1, ::-1].transpose(0, 1, 3, 2)
-    dz = _fwd_impl(dy, k_rot, None, dtype).astype(z.dtype)
+    dz = _fwd_impl(dy, k_rot, None, dtype, m_out).astype(z.dtype)
     # wgrad: conv is linear in K — transpose XLA's native conv (no forward
     # evaluation; this IS the tuned weight-grad convolution).
     dk = jax.linear_transpose(lambda kk: _direct(z, kk, dtype), kernel)(

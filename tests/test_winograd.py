@@ -115,8 +115,9 @@ def interpret_env(monkeypatch):
     monkeypatch.setenv("GDT_PALLAS_INTERPRET", "1")
 
 
-@pytest.mark.parametrize("h,w,cin,cout", [(8, 16, 8, 8), (6, 8, 4, 12)])
-def test_wino_rows_matches_direct_fp32(interpret_env, h, w, cin, cout):
+@pytest.mark.parametrize("m_out", [2, 4])
+@pytest.mark.parametrize("h,w,cin,cout", [(8, 16, 8, 8), (12, 8, 4, 12)])
+def test_wino_rows_matches_direct_fp32(interpret_env, h, w, cin, cout, m_out):
     from generative_detection_tpu.ops.winograd_pallas import wino_rows_conv3x3
 
     rng = np.random.default_rng(0)
@@ -124,8 +125,8 @@ def test_wino_rows_matches_direct_fp32(interpret_env, h, w, cin, cout):
     k = jnp.asarray(rng.normal(size=(3, 3, cin, cout)).astype(np.float32) * 0.1)
     b = jnp.asarray(rng.normal(size=(cout,)).astype(np.float32))
     ref = direct_conv3x3(x, k, b)
-    got = wino_rows_conv3x3(x, k, b)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=3e-5, atol=3e-5)
+    got = wino_rows_conv3x3(x, k, b, jnp.float32, m_out)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
 
 
 def test_wino_rows_gradients(interpret_env):
@@ -137,11 +138,15 @@ def test_wino_rows_gradients(interpret_env):
     b = jnp.asarray(rng.normal(size=(4,)).astype(np.float32))
 
     gd = jax.grad(lambda k_, x_, b_: jnp.sum(direct_conv3x3(x_, k_, b_) ** 2), (0, 1, 2))
-    gw = jax.grad(
-        lambda k_, x_, b_: jnp.sum(wino_rows_conv3x3(x_, k_, b_) ** 2), (0, 1, 2)
-    )
-    for a, bb in zip(gd(k, x, b), gw(k, x, b)):
-        np.testing.assert_allclose(np.asarray(bb), np.asarray(a), rtol=1e-4, atol=1e-4)
+    for m_out in (2, 4):
+        gw = jax.grad(
+            lambda k_, x_, b_, m=m_out: jnp.sum(
+                wino_rows_conv3x3(x_, k_, b_, jnp.float32, m) ** 2
+            ),
+            (0, 1, 2),
+        )
+        for a, bb in zip(gd(k, x, b), gw(k, x, b)):
+            np.testing.assert_allclose(np.asarray(bb), np.asarray(a), rtol=2e-4, atol=2e-4)
 
 
 def test_conv3x3_pallas_winograd_dispatch(interpret_env, monkeypatch):
