@@ -286,6 +286,11 @@ def _fwd_impl(z, kernel, bias, dtype, m_out):
     n, h, w, c = z.shape
     co = kernel.shape[-1]
     tr = _pick_tile(h, w, c, co, jnp.dtype(dtype).itemsize, m_out)
+    if tr is None:
+        raise ValueError(
+            f"no VMEM-provable row tile for shape {z.shape}->{co} with "
+            f"m_out={m_out}; gate calls on wino_rows_eligible()"
+        )
     n_pts = m_out + 2
     u = transform_kernel_rows(kernel, m_out).astype(dtype).reshape(3 * n_pts, c, co)
     b = (jnp.zeros((co,), jnp.float32) if bias is None else bias).astype(jnp.float32)
