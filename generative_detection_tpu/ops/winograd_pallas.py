@@ -262,6 +262,191 @@ def _wino_rows_pallas(z, u3n, bias, tr, m_out, interpret=False):
     )(z, u3n, bias)
 
 
+def _wino_wgrad_kernel(
+    z_hbm, dy_hbm, du_ref, zs, ds, sem, *, tr, w, c, co, m_out
+):
+    """dU[a, dx] = sum_tiles shift_{dx-1}(V_a(z))^T @ dM_a(dy), accumulated
+    across the (sequential) TPU grid into the VMEM-resident output block.
+
+    The forward computes out[f] = sum_dx (V_a @ U[a,dx])[f - (dx-1)], so the
+    cotangent of U is the masked (dx-1)-shifted V against the AT-transposed
+    dy phases dM_a = sum_i AT[i, a] dy[m_out t + i]."""
+    bt, _, at = _MATS[m_out]
+    n_pts = m_out + 2
+    bidx = pl.program_id(0)
+    t = pl.program_id(1)
+    r0 = t * tr
+    n_t = pl.num_programs(1)
+    tm = tr // m_out
+
+    body = pltpu.make_async_copy(
+        z_hbm.at[bidx, pl.ds(r0, tr)], zs.at[pl.ds(1, tr)], sem.at[0]
+    )
+    body.start()
+    dyc = pltpu.make_async_copy(dy_hbm.at[bidx, pl.ds(r0, tr)], ds, sem.at[3])
+    dyc.start()
+
+    @pl.when(t > 0)
+    def _top():
+        cp = pltpu.make_async_copy(
+            z_hbm.at[bidx, pl.ds(r0 - 1, 1)], zs.at[pl.ds(0, 1)], sem.at[1]
+        )
+        cp.start()
+        cp.wait()
+
+    @pl.when(t == 0)
+    def _zt():
+        zs[pl.ds(0, 1)] = jnp.zeros((1, w, c), zs.dtype)
+
+    @pl.when(t < n_t - 1)
+    def _bot():
+        cp = pltpu.make_async_copy(
+            z_hbm.at[bidx, pl.ds(r0 + tr, 1)], zs.at[pl.ds(tr + 1, 1)], sem.at[2]
+        )
+        cp.start()
+        cp.wait()
+
+    @pl.when(t == n_t - 1)
+    def _zb():
+        zs[pl.ds(tr + 1, 1)] = jnp.zeros((1, w, c), zs.dtype)
+
+    if m_out > 2:
+        zs[pl.ds(tr + 2, m_out - 2)] = jnp.zeros((m_out - 2, w, c), zs.dtype)
+
+    body.wait()
+    dyc.wait()
+
+    m = tm * w
+    lo = zs[pl.ds(0, tr)].reshape(tm, m_out, w, c)
+    hi = zs[pl.ds(m_out, tr)].reshape(tm, m_out, w, c)
+    r = [
+        (lo[:, u] if u < m_out else hi[:, u - m_out]).reshape(m, c)
+        for u in range(n_pts)
+    ]
+    if m_out == 2:
+        v = [r[0] - r[2], r[1] + r[2], r[2] - r[1], r[1] - r[3]]
+    else:
+        rf = [x.astype(jnp.float32) for x in r]
+        v = []
+        for a in range(n_pts):
+            acc = None
+            for u in range(n_pts):
+                cf = float(bt[a, u])
+                if cf == 0.0:
+                    continue
+                term = rf[u] if cf == 1.0 else rf[u] * cf
+                acc = term if acc is None else acc + term
+            v.append(acc.astype(zs.dtype))
+
+    # dM_a = sum_i AT[i, a] dy_phase_i (integer coefficients).
+    dphase = [ds[:].reshape(tm, m_out, w, co)[:, i].reshape(m, co) for i in range(m_out)]
+    dm = []
+    for a in range(n_pts):
+        acc = None
+        for i in range(m_out):
+            cf = float(at[i, a])
+            if cf == 0.0:
+                continue
+            term = dphase[i] if cf == 1.0 else dphase[i] * cf
+            acc = term if acc is None else acc + term
+        dm.append(acc)
+
+    fcol = jax.lax.rem(jax.lax.broadcasted_iota(jnp.int32, (m, c), 0), w)
+    zero = jnp.zeros((), zs.dtype)
+    upd = []
+    for a in range(n_pts):
+        shifted = [
+            jnp.where(fcol > 0, pltpu.roll(v[a], shift=1, axis=0), zero),
+            v[a],
+            jnp.where(fcol < w - 1, pltpu.roll(v[a], shift=m - 1, axis=0), zero),
+        ]
+        for dx in range(3):
+            upd.append(
+                jax.lax.dot_general(
+                    shifted[dx],
+                    dm[a].astype(zs.dtype),
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            )
+    du = jnp.stack(upd, axis=0)  # (3 * n_pts, C, CO) fp32
+
+    first = jnp.logical_and(bidx == 0, t == 0)
+
+    @pl.when(first)
+    def _init():
+        du_ref[...] = du
+
+    @pl.when(jnp.logical_not(first))
+    def _acc():
+        du_ref[...] += du
+
+
+@functools.partial(jax.jit, static_argnames=("tr", "m_out", "interpret"))
+def _wino_wgrad_pallas(z, dy, tr, m_out, interpret=False):
+    bsz, h, wd, c = z.shape
+    co = dy.shape[-1]
+    n_pts = m_out + 2
+    kernel = functools.partial(
+        _wino_wgrad_kernel, tr=tr, w=wd, c=c, co=co, m_out=m_out
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((3 * n_pts, c, co), jnp.float32),
+        grid=(bsz, h // tr),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (3 * n_pts, c, co), lambda bi, ti: (0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tr + max(2, m_out), wd, c), z.dtype),
+            pltpu.VMEM((tr, wd, co), dy.dtype),
+            pltpu.SemaphoreType.DMA((4,)),
+        ],
+        interpret=interpret,
+    )(z, dy)
+
+
+def _wgrad_tile(h, w, c, co, itemsize, m_out):
+    """Row tile for the wgrad kernel (adds the dy block + fp32 dU to VMEM)."""
+    n_pts = m_out + 2
+    for tr in (32, 16, 8, 4, 2):
+        if tr % m_out or h % tr:
+            continue
+        zs = (tr + max(2, m_out)) * w * c * itemsize
+        dsz = tr * w * co * itemsize
+        du = 3 * n_pts * c * co * 4
+        work = n_pts * (tr // m_out) * w * max(c, co) * 4 * 2  # V/dM temps
+        if zs + dsz + du + work <= _VMEM_BUDGET:
+            return tr
+    return None
+
+
+def wino_wgrad(z, dy, dtype, m_out: int = 2):
+    """Winograd weight gradient: dK[ky,kx] = sum_a G[a,ky] dU[a,kx]."""
+    n, h, w, c = z.shape
+    co = dy.shape[-1]
+    tr = _wgrad_tile(h, w, c, co, jnp.dtype(dtype).itemsize, m_out)
+    if tr is None:
+        raise ValueError(
+            f"no VMEM-provable wgrad tile for {z.shape}x{dy.shape} m_out={m_out}"
+        )
+    du = _wino_wgrad_pallas(
+        z.astype(dtype), dy.astype(dtype), tr, m_out, interpret=_interpret()
+    )
+    n_pts = m_out + 2
+    g = _MATS[m_out][1]
+    return jnp.einsum(
+        "ak,axio->kxio",
+        g,
+        du.reshape(n_pts, 3, c, co),
+        precision="highest",
+    )
+
+
 def _direct(z, kernel, dtype):
     return lax.conv_general_dilated(
         z.astype(dtype),
@@ -316,15 +501,28 @@ def _wino_fwd(z, kernel, bias, dtype, m_out):
 
 
 def _wino_bwd(dtype, m_out, res, dy):
+    import os
+
     z, kernel, no_bias = res
     # dgrad: SAME 3x3 dz = conv(dy, rot180(K) with in/out channels swapped).
     k_rot = kernel[::-1, ::-1].transpose(0, 1, 3, 2)
     dz = _fwd_impl(dy, k_rot, None, dtype, m_out).astype(z.dtype)
-    # wgrad: conv is linear in K — transpose XLA's native conv (no forward
-    # evaluation; this IS the tuned weight-grad convolution).
-    dk = jax.linear_transpose(lambda kk: _direct(z, kk, dtype), kernel)(
-        dy.astype(dtype)
-    )[0].astype(kernel.dtype)
+    # wgrad: the in-kernel Winograd accumulation when a tile fits, else
+    # XLA's native weight-grad conv (transpose of the conv, which is linear
+    # in K — no forward evaluation).
+    use_kernel = os.environ.get("GDT_WINOGRAD_WGRAD", "pallas") == "pallas" and (
+        _wgrad_tile(
+            z.shape[1], z.shape[2], z.shape[3], dy.shape[-1],
+            jnp.dtype(dtype).itemsize, m_out,
+        )
+        is not None
+    )
+    if use_kernel:
+        dk = wino_wgrad(z, dy, dtype, m_out).astype(kernel.dtype)
+    else:
+        dk = jax.linear_transpose(lambda kk: _direct(z, kk, dtype), kernel)(
+            dy.astype(dtype)
+        )[0].astype(kernel.dtype)
     db = None if no_bias else jnp.sum(dy, axis=(0, 1, 2)).astype(jnp.float32)
     return dz, dk, db
 

@@ -161,3 +161,19 @@ def test_conv3x3_pallas_winograd_dispatch(interpret_env, monkeypatch):
     np.testing.assert_allclose(
         np.asarray(y_win), np.asarray(y_direct), rtol=3e-5, atol=3e-5
     )
+
+
+@pytest.mark.parametrize("m_out", [2, 4])
+def test_wino_wgrad_kernel_matches_direct(interpret_env, m_out):
+    from generative_detection_tpu.ops.winograd_pallas import wino_wgrad
+
+    rng = np.random.default_rng(5)
+    z = jnp.asarray(rng.normal(size=(2, 8, 8, 4)).astype(np.float32))
+    dy = jnp.asarray(rng.normal(size=(2, 8, 8, 6)).astype(np.float32))
+    k = jnp.zeros((3, 3, 4, 6), jnp.float32)
+
+    dk_ref = jax.grad(
+        lambda k_: jnp.sum(direct_conv3x3(z, k_, None) * dy)
+    )(k)
+    dk = wino_wgrad(z, dy, jnp.float32, m_out)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_ref), rtol=2e-4, atol=2e-4)
