@@ -458,13 +458,17 @@ def _direct(z, kernel, dtype):
 
 
 def wino_rows_eligible(shape, cout, dtype, m_out: int = 2) -> bool:
+    from .dispatch import pallas_enabled
+
     n, h, w, c = shape
     if h % m_out:
         return False
-    itemsize = jnp.dtype(dtype).itemsize
-    if not _interpret() and (c % 128 or cout % 128):
-        return False
-    return _pick_tile(h, w, c, cout, itemsize, m_out) is not None
+    if not _interpret():
+        if c % 128 or cout % 128:
+            return False
+        if not pallas_enabled():  # probe/backend gate with XLA fallback
+            return False
+    return _pick_tile(h, w, c, cout, jnp.dtype(dtype).itemsize, m_out) is not None
 
 
 def _fwd_impl(z, kernel, bias, dtype, m_out):
