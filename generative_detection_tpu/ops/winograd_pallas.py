@@ -44,6 +44,7 @@ Reference workload anchor: the flagship ddconfig convs
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -505,8 +506,6 @@ def _wino_fwd(z, kernel, bias, dtype, m_out):
 
 
 def _wino_bwd(dtype, m_out, res, dy):
-    import os
-
     z, kernel, no_bias = res
     # dgrad: SAME 3x3 dz = conv(dy, rot180(K) with in/out channels swapped).
     k_rot = kernel[::-1, ::-1].transpose(0, 1, 3, 2)
