@@ -110,3 +110,68 @@ def max_iou(box: np.ndarray, boxes: np.ndarray) -> Optional[float]:
     box = np.ascontiguousarray(box, np.float32)
     boxes = np.ascontiguousarray(boxes, np.float32)
     return float(lib.max_iou(box, boxes, boxes.shape[0]))
+
+
+# -- region-of-interest JPEG decode (native/jpegdec.cpp) ----------------------
+
+_JLIB: Optional[ctypes.CDLL] = None
+_JTRIED = False
+
+
+def load_jpeg_lib() -> Optional[ctypes.CDLL]:
+    global _JLIB, _JTRIED
+    if _JTRIED:
+        return _JLIB
+    _JTRIED = True
+    if os.environ.get("GDT_NATIVE_LOADER", "1") == "0":
+        return None
+    so = os.path.join(_native_dir(), "libjpegdec.so")
+    if not os.path.exists(so):
+        load_lib()  # one `make -C native` builds both libraries
+        if not os.path.exists(so):  # no libjpeg headers on this host
+            logging.warning("native jpegdec unavailable; using PIL full decode")
+            return None
+    try:
+        lib = ctypes.CDLL(so)
+    except OSError as e:
+        logging.warning("native jpegdec load failed (%s); using PIL path", e)
+        return None
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    i = ctypes.c_int
+    ip = ctypes.POINTER(ctypes.c_int)
+    lib.gdt_jpeg_dims.argtypes = [u8p, ctypes.c_long, ip, ip]
+    lib.gdt_jpeg_dims.restype = i
+    lib.gdt_jpeg_region.argtypes = [u8p, ctypes.c_long, i, i, i, i, u8p]
+    lib.gdt_jpeg_region.restype = i
+    _JLIB = lib
+    return _JLIB
+
+
+def jpeg_region(
+    data: np.ndarray, x1: int, y1: int, w: int, h: int
+) -> Optional[np.ndarray]:
+    """Decode the [x1, y1, x1+w, y1+h) window of an in-memory JPEG.
+
+    Decodes only the window's iMCU rows/columns (bit-identical to a full
+    decode + crop; skips the IDCT/upsample/color work everywhere else and the
+    entropy decode below the window — native/jpegdec.cpp). Out-of-frame
+    pixels are zero (PIL crop semantics). Returns (h, w, 3) uint8, or None if
+    the native lib is absent or the stream is not decodable here.
+    """
+    lib = load_jpeg_lib()
+    if lib is None:
+        return None
+    data = np.ascontiguousarray(data, np.uint8)
+    out = np.empty((h, w, 3), np.uint8)
+    rc = lib.gdt_jpeg_region(data, data.size, x1, y1, w, h, out)
+    return out if rc == 0 else None
+
+
+def jpeg_region_file(path: str, x1: int, y1: int, w: int, h: int) -> Optional[np.ndarray]:
+    if load_jpeg_lib() is None:
+        return None
+    try:
+        data = np.fromfile(path, np.uint8)
+    except OSError:
+        return None
+    return jpeg_region(data, x1, y1, w, h)

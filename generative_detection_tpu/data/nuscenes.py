@@ -38,6 +38,7 @@ from ..geometry import (
     se3_log_map,
     z_world_to_learned,
 )
+from . import native
 from .synthetic import LABEL_ID2NAME, LABEL_NAME2ID
 
 CAM_NAMESPACE = "CAM"
@@ -62,6 +63,50 @@ def _box_iou(box: np.ndarray, boxes: np.ndarray) -> np.ndarray:
     a = (box[2] - box[0]) * (box[3] - box[1])
     b = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
     return inter / np.maximum(a + b - inter, 1e-9)
+
+
+class _FrameSource:
+    """One camera frame, decoded lazily and regionally.
+
+    Every dataset item needs only a small (50–400 px) square window of the
+    1600x900 frame, but a PIL decode pays for the whole frame (16.8 of the
+    18.6 ms/item — docs/BENCH.md "Loader"). ``region`` serves zero-padded
+    windows through the native libjpeg ROI decoder (``native/jpegdec.cpp``:
+    scanline skip + iMCU column crop + early abort, bit-identical to full
+    decode), falling back to one cached PIL full decode for non-JPEG / non-RGB
+    sources or when the native lib is absent.
+    """
+
+    def __init__(self, path: str):
+        from PIL import Image
+
+        self._path = path
+        self.pil = Image.open(path)  # lazy: parses the header only
+        self.size = self.pil.size
+        self.mode = self.pil.mode
+        self._full: Optional[np.ndarray] = None
+        self._try_native = self.pil.format == "JPEG" and self.mode == "RGB"
+
+    def _full_array(self) -> np.ndarray:
+        if self._full is None:
+            img = self.pil if self.mode == "RGB" else self.pil.convert("RGB")
+            self._full = np.asarray(img, np.uint8)
+        return self._full
+
+    def region(self, x1: int, y1: int, w: int, h: int) -> np.ndarray:
+        """(h, w, 3) uint8 window at [x1, y1); out-of-frame pixels are 0."""
+        if self._try_native and self._full is None:
+            out = native.jpeg_region_file(self._path, int(x1), int(y1), int(w), int(h))
+            if out is not None:
+                return out
+            self._try_native = False  # undecodable stream: PIL from here on
+        arr = self._full_array()
+        out = np.zeros((h, w, 3), np.uint8)
+        ix1, iy1 = max(x1, 0), max(y1, 0)
+        ix2, iy2 = min(x1 + w, arr.shape[1]), min(y1 + h, arr.shape[0])
+        if ix2 > ix1 and iy2 > iy1:
+            out[iy1 - y1 : iy2 - y1, ix1 - x1 : ix2 - x1] = arr[iy1:iy2, ix1:ix2]
+        return out
 
 
 class NuScenesBase:
@@ -243,16 +288,14 @@ class NuScenesBase:
                 None,
             )
 
-        from . import native
-
         patch_np = None
         if img.mode == "RGB":
-            arr = np.asarray(img, np.uint8)
-            patch_np = native.crop_resize_bilinear(arr, px1, py1, box_size, out_h, out_w)
+            crop_u8 = img.region(px1, py1, box_size, box_size)
+            patch_np = native.crop_resize_bilinear(crop_u8, 0, 0, box_size, out_h, out_w)
         if patch_np is not None:  # native single-pass crop+resize+mask
             mask_np = native.bbox_mask(box_size, bbox_in_crop, out_h, out_w)[..., None]
         else:  # PIL fallback
-            patch = img.crop((px1, py1, px1 + box_size, py1 + box_size))
+            patch = img.pil.crop((px1, py1, px1 + box_size, py1 + box_size))
             patch_resized = patch.resize(
                 (out_w, out_h), resample=Image.Resampling.BILINEAR, reducing_gap=1.0
             )
@@ -288,20 +331,15 @@ class NuScenesBase:
         buffer are pre-shrunk on host (two-stage resampling, rare close-ups).
         Out-of-frame pixels stay 0 (PIL crop semantics)."""
         buf_size = max(PATCH_SIZES)
-        if img.mode != "RGB":
-            img = img.convert("RGB")
-        arr = np.asarray(img, np.uint8)
-        imh, imw = arr.shape[:2]
         if box_size > buf_size:
-            from . import native
-
+            crop_u8 = img.region(px1, py1, box_size, box_size)
             shrunk = native.crop_resize_bilinear(
-                arr, px1, py1, box_size, buf_size, buf_size
+                crop_u8, 0, 0, box_size, buf_size, buf_size
             )
             if shrunk is None:
                 from PIL import Image
 
-                pil = img.crop((px1, py1, px1 + box_size, py1 + box_size)).resize(
+                pil = Image.fromarray(crop_u8).resize(
                     (buf_size, buf_size), resample=Image.Resampling.BILINEAR
                 )
                 shrunk = np.asarray(pil, np.float32) / 255.0
@@ -311,13 +349,7 @@ class NuScenesBase:
             src_size = float(buf_size)
         else:
             raw = np.zeros((buf_size, buf_size, 3), np.uint8)
-            sx1, sy1 = max(px1, 0), max(py1, 0)
-            sx2 = min(px1 + box_size, imw)
-            sy2 = min(py1 + box_size, imh)
-            if sx2 > sx1 and sy2 > sy1:
-                raw[sy1 - py1 : sy2 - py1, sx1 - px1 : sx2 - px1] = arr[
-                    sy1:sy2, sx1:sx2
-                ]
+            raw[:box_size, :box_size] = img.region(px1, py1, box_size, box_size)
             bic = np.asarray(bbox_in_crop, np.float32)
             src_size = float(box_size)
         return {
@@ -425,7 +457,7 @@ class NuScenesBase:
         img_file = os.path.basename(img_info["img_path"])
         img_path = os.path.join(self.img_root, cam_name, img_file)
         try:
-            img = Image.open(img_path)
+            img = _FrameSource(img_path)
         except (FileNotFoundError, OSError):
             return None
 
@@ -487,41 +519,41 @@ class NuScenesBase:
         img_file = os.path.basename(img_info["img_path"])
         img_path = os.path.join(self.img_root, cam_name, img_file)
         try:
-            img = Image.open(img_path)
+            img = _FrameSource(img_path)
         except (FileNotFoundError, OSError):
             return None
         W, H = img.size
         boxes = np.asarray([inst["bbox"] for inst in instances], np.float32).reshape(-1, 4)
-        crop = None
+        crop_u8 = None
+        ps = 0
         for _ in range(10):  # timeout_iters (ref :574)
             ps = int(self._rng.choice(PATCH_SIZES))
             cx = int(self._rng.integers(0, max(W - ps, 1)))
             cy = int(self._rng.integers(0, max(H - ps, 1)))
             cand = np.asarray([cx, cy, cx + ps, cy + ps], np.float32)
             if boxes.shape[0] == 0 or np.all(_box_iou(cand, boxes) < 0.5):
-                crop = img.crop((cx, cy, cx + ps, cy + ps))
+                crop_u8 = img.region(cx, cy, ps, ps)
                 break
-        if crop is None:
+        if crop_u8 is None:
             return None
         out_w, out_h = self.patch_size[1], self.patch_size[0]
-        orig_size = crop.size
         if self.device_preprocess:
             buf_size = max(PATCH_SIZES)
             raw = np.zeros((buf_size, buf_size, 3), np.uint8)
-            arr = np.asarray(crop.convert("RGB"), np.uint8)
-            raw[: arr.shape[0], : arr.shape[1]] = arr
+            raw[:ps, :ps] = crop_u8
             image_fields = {
                 "patch_raw": raw,
-                "patch_src_size": np.float32(orig_size[0]),
+                "patch_src_size": np.float32(ps),
                 "bbox_in_crop": np.zeros(4, np.float32),  # empty mask rect
                 "patch_out_size": np.int32(out_h),
             }
         else:
-            crop = crop.resize((out_w, out_h), resample=Image.Resampling.BILINEAR)
-            patch = np.asarray(crop, dtype=np.float32) / 255.0
-            if patch.ndim == 2:
-                patch = np.repeat(patch[..., None], 3, -1)
-            patch = patch[..., :3]
+            patch = native.resize_bilinear(crop_u8, out_h, out_w)
+            if patch is None:  # PIL fallback
+                pil = Image.fromarray(crop_u8).resize(
+                    (out_w, out_h), resample=Image.Resampling.BILINEAR
+                )
+                patch = np.asarray(pil, dtype=np.float32) / 255.0
             image_fields = {
                 "patch": patch,
                 "mask_2d_bbox": np.zeros((out_h, out_w, 1), np.float32),
@@ -540,7 +572,7 @@ class NuScenesBase:
             "fill_factor": np.float32(0.0),
             "patch_size": np.asarray([[out_h, out_w]], np.float32),
             "patch_center_2d": np.asarray([out_h // 2, out_w // 2], np.float32),
-            "resampling_factor": np.float32(out_w / orig_size[0]),
+            "resampling_factor": np.float32(out_w / ps),
             "bbox_3d_gt": np.zeros(BBOX_3D_DIM, np.float32),
             "cam2img": np.asarray(img_info["cam2img"], np.float32).reshape(3, 3),
         }

@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Loader-throughput benchmark: items/sec of the nuScenes patch loader.
 
-Measures the host data path (PIL decode + native C++ crop/resize/mask +
+Measures the host data path (native ROI JPEG decode + C++ crop/resize/mask +
 label math, thread-pool workers) and the device-preprocess variant (host
 ships raw uint8 crops; resize/normalize/mask run on-device in jit) against
 a generated camera-image tree, so the number is comparable across machines
