@@ -1,15 +1,23 @@
 """Config-driven data module with a background-prefetch loader.
 
 Replaces ``DataModuleFromConfig`` (ref src/data/preprocessing/
-data_modules.py:40-146) minus torch DataLoader workers: items are produced by
-a thread pool (PIL/numpy release the GIL on the hot ops) and collated into
-numpy batches; a bounded queue prefetches ahead of the device so the TPU
-never waits on the host when the C++ patch ops are enabled. Shuffle on train
-only, per-epoch reseed, drop_last for static batch shapes (XLA requirement).
+data_modules.py:40-146) including torch DataLoader worker semantics: items
+are produced either by a thread pool (default — the native C++ patch ops and
+the ROI JPEG decoder release the GIL, so threads scale without process
+overhead) or, with ``worker_type: process``, by a persistent spawn-based
+process pool matching torch ``num_workers`` (for datasets whose per-item
+Python label math would serialize on the GIL across many host cores). Both
+collate into numpy batches behind a bounded prefetch queue so the TPU never
+waits on the host. Shuffle on train only, per-epoch reseed
+(DistributedSampler ``set_epoch`` semantics), drop_last for static batch
+shapes (XLA requirement).
 """
 
 from __future__ import annotations
 
+import itertools
+import multiprocessing
+import os
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
@@ -36,6 +44,87 @@ def collate(items) -> Dict[str, Any]:
     return out
 
 
+def _worker_main(dataset, seed: int, worker_id: int, task_q, result_q):
+    """Process-pool worker: pull (batch_id, indices), push (batch_id, batch).
+
+    Each worker owns a pickled copy of the dataset (torch spawn-DataLoader
+    semantics). Augmentation RNG is reseeded per worker so workers don't
+    replay identical perturbation streams (torch ``worker_init_fn`` analogue);
+    item-keyed RNG (``default_rng((seed, idx))``-style datasets) is unaffected.
+    """
+    if hasattr(dataset, "_rng"):
+        dataset._rng = np.random.default_rng((seed, worker_id))
+    while True:
+        task = task_q.get()
+        if task is None:
+            return
+        batch_id, idxs = task
+        try:
+            result_q.put((batch_id, collate([dataset[int(i)] for i in idxs]), None))
+        except Exception as e:  # noqa: BLE001 — surfaced in the parent
+            result_q.put((batch_id, None, f"{type(e).__name__}: {e}"))
+
+
+class _ProcessPool:
+    """Persistent spawn-based worker pool (torch persistent_workers=True).
+
+    spawn (not fork): the parent has a live JAX runtime whose internal
+    threads/mutexes a fork would clone mid-flight. Workers inherit
+    ``JAX_PLATFORMS=cpu`` (set around ``start()``) so a transitive jax import
+    in dataset code can never claim the TPU from a loader process.
+    """
+
+    def __init__(self, dataset, num_workers: int, seed: int):
+        ctx = multiprocessing.get_context("spawn")
+        self.task_q = ctx.Queue()
+        self.result_q = ctx.Queue()
+        self.procs = []
+        saved = {k: os.environ.get(k) for k in ("JAX_PLATFORMS", "XLA_FLAGS")}
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ.pop("XLA_FLAGS", None)
+        try:
+            for w in range(num_workers):
+                p = ctx.Process(
+                    target=_worker_main,
+                    args=(dataset, seed, w, self.task_q, self.result_q),
+                    daemon=True,
+                )
+                p.start()
+                self.procs.append(p)
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+
+    def get_result(self, timeout: float = 600.0):
+        try:
+            return self.result_q.get(timeout=timeout)
+        except queue.Empty:
+            dead = [i for i, p in enumerate(self.procs) if not p.is_alive()]
+            raise RuntimeError(
+                f"loader worker(s) {dead} died without a result"
+                if dead
+                else f"loader result timed out after {timeout}s"
+            ) from None
+
+    def shutdown(self):
+        for _ in self.procs:
+            self.task_q.put(None)
+        for p in self.procs:
+            p.join(timeout=10)
+            if p.is_alive():
+                p.terminate()
+        self.procs = []
+
+    def __del__(self):
+        try:
+            self.shutdown()
+        except Exception:  # noqa: BLE001 — interpreter teardown
+            pass
+
+
 class _Loader:
     def __init__(
         self,
@@ -48,6 +137,7 @@ class _Loader:
         drop_last: bool = True,
         shard_id: int = 0,
         num_shards: int = 1,
+        worker_type: str = "thread",
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -56,6 +146,10 @@ class _Loader:
         self.seed = seed
         self.prefetch = prefetch
         self.drop_last = drop_last
+        if worker_type not in ("thread", "process"):
+            raise ValueError(f"worker_type must be thread|process, got {worker_type!r}")
+        self.worker_type = worker_type
+        self._pool: Optional[_ProcessPool] = None
         # Multi-host: each process reads a disjoint strided slice of the same
         # seed-shared global order (torch DistributedSampler analogue; the
         # reference gets this from Lightning DDP, ref train.py:162).
@@ -108,6 +202,10 @@ class _Loader:
                 yield collate([self.dataset[int(i)] for i in idxs])
             return
 
+        if self.worker_type == "process":
+            yield from self._process_epoch(batches)
+            return
+
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
@@ -130,6 +228,40 @@ class _Loader:
                 yield batch
         finally:
             stop.set()
+
+    def _process_epoch(self, batches) -> Iterator[Dict[str, Any]]:
+        """One epoch through the persistent process pool: whole batches are
+        farmed to workers (up to ``prefetch + num_workers`` in flight) and
+        re-emitted IN ORDER through a reorder buffer, so batch sequence is
+        identical to the inline/thread paths."""
+        if self._pool is None:
+            self._pool = _ProcessPool(self.dataset, self.num_workers, self.seed)
+        pool, pending = self._pool, {}
+        tasks = enumerate(batches)
+        for batch_id, idxs in itertools.islice(tasks, self.prefetch + self.num_workers):
+            pool.task_q.put((batch_id, np.asarray(idxs)))
+        try:
+            for next_emit in range(len(batches)):
+                while next_emit not in pending:
+                    batch_id, batch, err = pool.get_result()
+                    if err is not None:
+                        raise RuntimeError(f"loader worker failed on batch {batch_id}: {err}")
+                    pending[batch_id] = batch
+                    nxt = next(tasks, None)
+                    if nxt is not None:
+                        pool.task_q.put((nxt[0], np.asarray(nxt[1])))
+                yield pending.pop(next_emit)
+        except BaseException:
+            # abandoned mid-epoch: the pool's queues hold stale results for
+            # this epoch's batch ids — rebuild it rather than poison the next
+            self._pool.shutdown()
+            self._pool = None
+            raise
+
+    def shutdown(self):
+        if self._pool is not None:
+            self._pool.shutdown()
+            self._pool = None
 
 
 class WrappedDataset:
@@ -160,11 +292,17 @@ class DataModuleFromConfig:
         shuffle_val_dataloader: bool = False,
         persistent_workers: bool = False,
         seed: int = 23,
+        worker_type: str = "thread",
         **_: Any,
     ):
         self.batch_size = batch_size
         self.num_workers = num_workers if num_workers is not None else batch_size * 2
         self.seed = seed
+        # "thread" (default): native patch ops + ROI JPEG decode release the
+        # GIL, so threads scale cheaply. "process": torch num_workers
+        # semantics — persistent spawn workers own dataset copies; for
+        # datasets whose per-item Python math would serialize on the GIL.
+        self.worker_type = worker_type
         self.wrap = wrap
         self.dataset_configs: Dict[str, Any] = {}
         for name, cfg in (
@@ -176,6 +314,7 @@ class DataModuleFromConfig:
             if cfg is not None:
                 self.dataset_configs[name] = cfg
         self.datasets: Dict[str, Any] = {}
+        self._loaders: Dict[str, _Loader] = {}
         self._shuffle_val = shuffle_val_dataloader
         self._shuffle_test = shuffle_test_loader
 
@@ -188,6 +327,8 @@ class DataModuleFromConfig:
         }
         if self.wrap:
             self.datasets = {k: WrappedDataset(v) for k, v in self.datasets.items()}
+        self.teardown()
+        self._loaders.clear()  # new datasets -> new loaders (epoch counters reset)
 
     def _parallel_context(self):
         """(shard_id, num_shards) from the JAX distributed runtime — one data
@@ -201,16 +342,29 @@ class DataModuleFromConfig:
             return 0, 1
 
     def _loader(self, split: str, shuffle: bool) -> _Loader:
-        shard_id, num_shards = self._parallel_context()
-        return _Loader(
-            self.datasets[split],
-            batch_size=self.batch_size,
-            shuffle=shuffle,
-            num_workers=self.num_workers,
-            seed=self.seed,
-            shard_id=shard_id,
-            num_shards=num_shards,
-        )
+        # One cached _Loader per split: each __call__ advances its epoch
+        # counter, so every epoch reshuffles with a fresh (seed, epoch) key —
+        # torch DistributedSampler.set_epoch semantics. (A fresh _Loader per
+        # call would replay epoch-0's order forever.)
+        loader = self._loaders.get(split)
+        if loader is None:
+            shard_id, num_shards = self._parallel_context()
+            loader = _Loader(
+                self.datasets[split],
+                batch_size=self.batch_size,
+                shuffle=shuffle,
+                num_workers=self.num_workers,
+                seed=self.seed,
+                shard_id=shard_id,
+                num_shards=num_shards,
+                worker_type=self.worker_type,
+            )
+            self._loaders[split] = loader
+        return loader
+
+    def teardown(self, stage: Optional[str] = None):
+        for loader in self._loaders.values():
+            loader.shutdown()
 
     def train_dataloader(self):
         return self._loader("train", shuffle=True)()
