@@ -77,6 +77,33 @@ def bench(ds, n_items: int, workers: int) -> float:
     return n_items / dt
 
 
+def bench_loader(ds, n_items: int, workers: int, worker_type: str, batch_size: int = 8) -> float:
+    """End-to-end ``_Loader`` rate (collate + prefetch/reorder included) for
+    the thread vs process worker paths — the number the Trainer actually
+    sees, unlike ``bench`` which measures bare ``dataset[idx]`` fan-out."""
+    from generative_detection_tpu.data.datamodule import _Loader
+
+    loader = _Loader(
+        ds,
+        batch_size=batch_size,
+        shuffle=False,
+        num_workers=workers,
+        worker_type=worker_type,
+        drop_last=True,
+    )
+    epochs = max(1, n_items // (len(ds) // batch_size * batch_size))
+    for _ in loader():  # warmup epoch (pool spawn, decoder caches)
+        pass
+    t0 = time.perf_counter()
+    n = 0
+    for _ in range(epochs):
+        for batch in loader():
+            n += batch["class_id"].shape[0]
+    dt = time.perf_counter() - t0
+    loader.shutdown()
+    return n / dt
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--items", type=int, default=256)
@@ -101,6 +128,10 @@ def main():
         dev = NuScenesTrain(device_preprocess=True, **kw)
         rate_dev = bench(dev, args.items, args.workers)
         print(f"device-preprocess path (raw uint8): {rate_dev:8.1f} items/s")
+
+        for wt in ("thread", "process"):
+            rate = bench_loader(host, args.items, args.workers, wt)
+            print(f"_Loader end-to-end [{wt:7s} workers]: {rate:8.1f} items/s")
 
 
 if __name__ == "__main__":
