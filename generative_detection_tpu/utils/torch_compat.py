@@ -238,6 +238,158 @@ def filter_ignore_keys(sd: Dict, ignore_keys: Iterable[str]) -> Dict:
     return out
 
 
+# -- reverse direction: flax parameter trees -> torch state_dict ---------------
+#
+# Lets a user move a model trained here BACK to the reference's torch stack
+# (ref src/models/autoencoder.py:97-116 loads torch .ckpt state_dicts), and
+# closes the interop loop: export -> convert_* -> overlay must round-trip
+# bit-exactly (tests/test_torch_export.py).
+
+_BACKBONE_RE = [
+    # down_0_block_1 -> down.0.block.1 ; up_2_attn_0 -> up.2.attn.0
+    (r"^(down|up)_(\d+)_(block|attn)_(\d+)$", r"\1.\2.\3.\4"),
+    # down_0_downsample -> down.0.downsample ; up_2_upsample -> up.2.upsample
+    (r"^(down|up)_(\d+)_(downsample|upsample)$", r"\1.\2.\3"),
+    # mid_block_1 -> mid.block_1 ; mid_attn_1 -> mid.attn_1
+    (r"^mid_(block|attn)_(\d+)$", r"mid.\1_\2"),
+]
+
+
+def _torch_name(flax_name: str) -> str:
+    import re
+
+    for pat, rep in _BACKBONE_RE:
+        new, n = re.subn(pat, rep, flax_name)
+        if n:
+            return new
+    return flax_name
+
+
+def _export_leaf_module(tree: Dict, torch_key: str, sd: Dict) -> bool:
+    """Write one torch module's tensors if ``tree`` is a flax leaf module
+    (Conv/Dense via 'kernel' ndim, Group/BatchNorm via 'scale')."""
+    if "kernel" in tree:
+        k = np.asarray(tree["kernel"])
+        if k.ndim == 4:  # flax (kH, kW, I, O) -> torch (O, I, kH, kW)
+            sd[f"{torch_key}.weight"] = np.transpose(k, (3, 2, 0, 1))
+        else:  # flax Dense (in, out) -> torch Linear (out, in)
+            sd[f"{torch_key}.weight"] = np.transpose(k, (1, 0))
+        if "bias" in tree:
+            sd[f"{torch_key}.bias"] = np.asarray(tree["bias"])
+        return True
+    if "scale" in tree:
+        sd[f"{torch_key}.weight"] = np.asarray(tree["scale"])
+        sd[f"{torch_key}.bias"] = np.asarray(tree["bias"])
+        return True
+    return False
+
+
+def _export_tree(tree: Dict, torch_prefix: str, sd: Dict) -> None:
+    for name, sub in tree.items():
+        key = f"{torch_prefix}.{_torch_name(name)}" if torch_prefix else _torch_name(name)
+        if isinstance(sub, dict):
+            if not _export_leaf_module(sub, key, sd):
+                _export_tree(sub, key, sd)
+        else:
+            sd[key] = np.asarray(sub)
+
+
+def _export_pose_mlp(tree: Dict, torch_prefix: str, sd: Dict) -> None:
+    """spatial-VAE MLPs store as torch ``nn.Sequential`` indices with an
+    activation between Linears (inverse of the maps in
+    ``convert_pose_autoencoder``):
+
+    - pose_decoder (has fc_in): fc_in -> layers.0, fc_i -> layers.{2i},
+      fc_out -> layers.{2(n_hidden+1)}  (num_layers=2: 0, 2, 4)
+    - pose_encoder (no fc_in; coord/latent linears are named): fc_i ->
+      layers.{2i-1}, fc_out -> layers.{2*n_hidden+1}  (num_layers=2: 1, 3)
+    """
+    fcs = [n for n in tree if n.startswith("fc_") and n[3:].isdigit()]
+    has_fc_in = "fc_in" in tree
+    for name, sub in tree.items():
+        if name == "fc_in":
+            key = f"{torch_prefix}.layers.0"
+        elif name == "fc_out":
+            last = 2 * (len(fcs) + 1) if has_fc_in else 2 * len(fcs) + 1
+            key = f"{torch_prefix}.layers.{last}"
+        elif name in fcs:
+            i = int(name[3:])
+            key = f"{torch_prefix}.layers.{2 * i if has_fc_in else 2 * i - 1}"
+        else:  # coord_linear / latent_linear keep their names
+            key = f"{torch_prefix}.{name}"
+        _export_leaf_module(sub, key, sd)
+
+
+_DISC_CONV_IDX = {"conv_0": 0, "conv_1": 2, "conv_2": 5, "conv_3": 8, "conv_out": 11}
+_DISC_BN_IDX = {"bn_1": 3, "bn_2": 6, "bn_3": 9}
+
+
+def _export_loss(loss_params: Dict, sd: Dict) -> None:
+    if "logvar" in loss_params:
+        sd["loss.logvar"] = np.asarray(loss_params["logvar"]).reshape(())
+    disc = loss_params.get("discriminator")
+    if disc:
+        for name, sub in disc.items():
+            idx = _DISC_CONV_IDX.get(name, _DISC_BN_IDX.get(name))
+            if idx is None:
+                continue
+            key = f"loss.discriminator.main.{idx}"
+            _export_leaf_module(sub, key, sd)
+            if name in _DISC_BN_IDX:
+                # torch BatchNorm2d buffers: this package normalizes by batch
+                # statistics (torch train-mode), so export fresh defaults for
+                # torch-load completeness
+                c = np.asarray(sub["scale"]).shape[0]
+                sd[f"{key}.running_mean"] = np.zeros(c, np.float32)
+                sd[f"{key}.running_var"] = np.ones(c, np.float32)
+                sd[f"{key}.num_batches_tracked"] = np.asarray(0, np.int64)
+    # LPIPS (loss.perceptual_loss.*) is intentionally NOT exported: the
+    # in-package VGG is seeded-random unless pretrained weights were dropped
+    # in; the reference loads checkpoints strict=False so absence is fine.
+
+
+def export_pose_autoencoder(net_params: Dict, loss_params: Dict | None = None) -> Dict:
+    """PoseAutoencoder flax params -> torch state_dict (numpy values).
+
+    Exact inverse of ``convert_pose_autoencoder`` over the keys both sides
+    share (LPIPS excluded, BN buffers exported as fresh defaults)."""
+    sd: Dict = {}
+    for top in ("encoder", "decoder"):
+        if top in net_params:
+            _export_tree(net_params[top], top, sd)
+    for top in ("quant_conv_obj", "quant_conv_pose", "post_quant_conv", "quant_conv"):
+        if top in net_params:
+            _export_leaf_module(net_params[top], top, sd)
+    if "pose_decoder" in net_params:
+        _export_pose_mlp(net_params["pose_decoder"], "pose_decoder", sd)
+    if "pose_encoder" in net_params:
+        _export_pose_mlp(net_params["pose_encoder"], "pose_encoder", sd)
+    if loss_params:
+        _export_loss(loss_params, sd)
+    return sd
+
+
+def export_plain_autoencoder(net_params: Dict, loss_params: Dict | None = None) -> Dict:
+    """Plain AutoencoderKL flax params -> torch state_dict (numpy values)."""
+    return export_pose_autoencoder(net_params, loss_params)
+
+
+def save_torch_checkpoint(path: str, sd: Dict, global_step: int = 0) -> None:
+    """Write a Lightning-style .ckpt that the reference's ``init_from_ckpt``
+    (and plain ``torch.load``) reads: ``{'state_dict': tensors, 'global_step'}``."""
+    import torch
+
+    torch.save(
+        {
+            # copy=True: torch tensors need writable buffers (jax arrays
+            # export read-only numpy views)
+            "state_dict": {k: torch.from_numpy(np.array(v, copy=True)) for k, v in sd.items()},
+            "global_step": int(global_step),
+        },
+        path,
+    )
+
+
 def overlay_params(params: Dict, overlay: Dict) -> Dict:
     """Recursively replace leaves of ``params`` present in ``overlay``
     (shape-checked)."""
