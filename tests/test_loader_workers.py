@@ -97,3 +97,32 @@ def test_process_loader_propagates_worker_error():
 def test_worker_type_validated():
     with pytest.raises(ValueError, match="thread|process"):
         _Loader(SyntheticPatchTrain(length=4), batch_size=2, shuffle=False, worker_type="gpu")
+
+
+def test_process_loader_nuscenes_native_ops(tmp_path):
+    """Spawn workers must re-load the native ctypes libs (module-global,
+    lazily bound — never pickled with the dataset) and produce batches
+    identical to the in-process path over the real nuScenes item pipeline."""
+    from generative_detection_tpu.data.nuscenes import NuScenesTrain
+
+    from test_data import _fake_infos
+
+    root = _fake_infos(tmp_path)
+    kw = dict(
+        data_root=str(root),
+        label_names=["car", "background"],
+        patch_height=64,
+        negative_sample_prob=0.0,
+        seed=0,
+    )
+    inline = _Loader(NuScenesTrain(**kw), batch_size=4, shuffle=False, num_workers=0)
+    proc = _Loader(
+        NuScenesTrain(**kw), batch_size=4, shuffle=False,
+        num_workers=2, worker_type="process",
+    )
+    ref, got = list(inline()), list(proc())
+    proc.shutdown()
+    assert len(got) == len(ref) > 0
+    for rb, gb in zip(ref, got):
+        np.testing.assert_array_equal(rb["patch"], gb["patch"])
+        np.testing.assert_array_equal(rb["pose_6d"], gb["pose_6d"])
