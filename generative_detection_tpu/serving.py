@@ -26,10 +26,20 @@ import numpy as np
 from .eval.inference import recover_boxes
 
 
-def make_detector_fn(model, net_params, hmin_table, hmax_table, patch_out: int = 256):
+def make_detector_fn(
+    model,
+    net_params,
+    hmin_table,
+    hmax_table,
+    patch_out: int = 256,
+    params_as_arg: bool = False,
+):
     """Close the model into a pure patches->boxes function. Weights are
     captured as constants by design here (the artifact must be
-    self-contained); for in-process use prefer passing params as arguments."""
+    self-contained); for in-process use pass ``params_as_arg=True`` — the
+    returned function then takes ``(net_params, rgb, ...)`` so the weights
+    stay jit arguments (baked constants inflate the compile payload,
+    eval.py's lesson on remote-compile backends)."""
 
     # forward-only net: fused gn+conv Pallas kernels, identical params.
     # NOTE: the serving artifact is exported as portable StableHLO, so keep
@@ -37,12 +47,12 @@ def make_detector_fn(model, net_params, hmin_table, hmax_table, patch_out: int =
     # serving on the same TPU generation.
     net = model.net
 
-    def detect(rgb, focal, principal_point, patch_size, patch_center, resampling):
+    def _detect(params, rgb, focal, principal_point, patch_size, patch_center, resampling):
         posterior, pose_feat = net.apply(
-            {"params": net_params}, rgb, method=net.encode
+            {"params": params}, rgb, method=net.encode
         )
         dec_pose, _ = net.apply(
-            {"params": net_params},
+            {"params": params},
             pose_feat,
             False,  # mode path: deterministic detector
             method=net._decode_pose,
@@ -60,6 +70,14 @@ def make_detector_fn(model, net_params, hmin_table, hmax_table, patch_out: int =
             patch_out=patch_out,
         )
         return rec["boxes_3d"], rec["class_id"], rec["score"]
+
+    if params_as_arg:
+        return _detect
+
+    def detect(rgb, focal, principal_point, patch_size, patch_center, resampling):
+        return _detect(
+            net_params, rgb, focal, principal_point, patch_size, patch_center, resampling
+        )
 
     return detect
 
