@@ -99,15 +99,30 @@ class _ProcessPool:
                     os.environ[k] = v
 
     def get_result(self, timeout: float = 600.0):
-        try:
-            return self.result_q.get(timeout=timeout)
-        except queue.Empty:
-            dead = [i for i, p in enumerate(self.procs) if not p.is_alive()]
-            raise RuntimeError(
-                f"loader worker(s) {dead} died without a result"
-                if dead
-                else f"loader result timed out after {timeout}s"
-            ) from None
+        # Short poll interval so a dead worker (OOM-killed, import error in
+        # the spawn bootstrap) surfaces within seconds — torch DataLoader
+        # semantics — instead of blocking the full timeout on a result that
+        # can never arrive.
+        waited = 0.0
+        while True:
+            try:
+                return self.result_q.get(timeout=min(5.0, timeout - waited))
+            except queue.Empty:
+                dead = [
+                    (i, p.exitcode)
+                    for i, p in enumerate(self.procs)
+                    if not p.is_alive()
+                ]
+                if dead:
+                    raise RuntimeError(
+                        f"loader worker(s) died without a result "
+                        f"(id, exitcode): {dead}"
+                    ) from None
+                waited += 5.0
+                if waited >= timeout:
+                    raise RuntimeError(
+                        f"loader result timed out after {timeout}s"
+                    ) from None
 
     def shutdown(self):
         for _ in self.procs:

@@ -296,6 +296,15 @@ class _WrapperBase:
             self._prep_jit_fn = fn
         return fn
 
+    def prepare_batch(self, batch) -> Dict[str, jnp.ndarray]:
+        """Map a host batch dict into loss-ready device arrays: the pure-numpy
+        host half (``prepare_batch_host``) + ONE jitted device dispatch
+        (``prepare_batch_device``; ref get_input/_rescale,
+        autoencoder.py:296-305,434-436). Shared by both model families —
+        each defines only the two halves."""
+        host, meta = self.prepare_batch_host(batch)
+        return self._prepare_jit()(host, meta)
+
     def maybe_init_from_ckpt(self, net_params, loss_params):
         """Apply the config-driven torch-checkpoint overlay when
         ``ckpt_path`` is set (the reference loads it at construction,
@@ -581,19 +590,6 @@ class PoseAutoencoder(_WrapperBase):
         out["mask_2d_bbox"] = mask
         return out
 
-    def prepare_batch(self, batch) -> Dict[str, jnp.ndarray]:
-        """Map a host batch dict into loss-ready device arrays (NHWC): the
-        numpy host half + ONE jitted device dispatch (ref get_input/_rescale,
-        autoencoder.py:296-305,434-436).
-
-        Two image contracts:
-        - host-preprocessed: float ``patch`` in [0,1] + ``mask_2d_bbox``;
-        - device-preprocess: raw uint8 ``patch_raw`` crops + mask rects.
-        """
-        host, meta = self.prepare_batch_host(batch)
-        return self._prepare_jit()(host, meta)
-
-
 def rescale_minmax(x: jnp.ndarray) -> jnp.ndarray:
     """2*(x - min)/(max - min) - 1 over the whole batch (ref :434-436)."""
     lo, hi = jnp.min(x), jnp.max(x)
@@ -675,10 +671,6 @@ class Autoencoder(_WrapperBase):
 
     def prepare_batch_device(self, host, meta) -> Dict[str, jnp.ndarray]:
         return {"image": jnp.asarray(host["image"])}
-
-    def prepare_batch(self, batch) -> Dict[str, jnp.ndarray]:
-        host, meta = self.prepare_batch_host(batch)
-        return self._prepare_jit()(host, meta)
 
     def init_variables(self, rng: jax.Array, batch_size: int = 1):
         res = self.ddconfig.get("resolution", 256)

@@ -217,10 +217,12 @@ class _ConvParams(nn.Module):
 
 
 class Upsample(nn.Module):
-    """Nearest-2x + 3x3 SAME conv. The default path computes the identical
-    op at the LOW resolution via the phase-decomposed 2x2 conv
-    (``ops.upsample`` — 4/9 the MACs, same parameters); set
-    ``GDT_SUBPIXEL_UP=0`` for the direct repeat+conv formulation."""
+    """Nearest-2x + 3x3 SAME conv. Default: the direct repeat+conv
+    formulation (XLA operand-fuses the repeat into the conv; composed-step
+    tie, docs/BENCH.md round 4). ``GDT_SUBPIXEL_UP=1`` opts into the
+    phase-decomposed 2x2 conv at the LOW resolution (``ops.upsample`` —
+    identical op, 4/9 the MACs, the right default for inference-only
+    decoder deployments)."""
 
     dtype: Any = jnp.float32
 

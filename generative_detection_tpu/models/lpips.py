@@ -61,19 +61,19 @@ def _tap_distance(a: jnp.ndarray, b: jnp.ndarray, kernel: jnp.ndarray,
     only five sibling channel reductions over raw a, b — XLA fuses them into
     ONE read of each tap, and the backward re-reads each tap once.
 
-    One deliberate refinement: na = sqrt(a2 + 1e-12) instead of
-    sqrt(a2) + eps. Values deviate by < 5e-13/||a||^2 relative and agree
-    exactly at ||a|| = 0 (every term there has a zero numerator either
-    way), but the gradient is finite everywhere — the reference form
-    (torch and the naive jnp port alike) emits NaN gradients at pixels
-    where a ReLU tap is all-zero across channels (sqrt'(0) = inf times a
-    zero cotangent), a real training hazard this formulation removes
-    (pinned by test). The floor is 1e-12 rather than eps^2 = 1e-20 because
-    the backward squares/cubes the floored variance (na^4 terms): 1e-40 is
-    subnormal in f32 and flushes to zero under XLA's FTZ, recreating the
-    0/0 NaN the floor exists to prevent; 1e-12's powers stay normal.
+    One deliberate refinement: the norms use the safe-sqrt ``where`` pattern
+    — ``na = sqrt(a2) + eps`` EXACTLY (bit-matching the reference
+    normalization) whenever ``a2 > 0``, with the ``a2 == 0`` branch routed
+    around the sqrt so its gradient is cut instead of ``sqrt'(0) = inf``.
+    The reference form (torch and the naive jnp port alike) emits NaN
+    gradients at pixels where a ReLU tap is all-zero across channels (inf
+    times a zero cotangent), a real training hazard this removes (pinned by
+    test); at such pixels every numerator is zero, so the value agrees with
+    the reference either way. Unlike a variance floor (an earlier draft used
+    ``sqrt(a2 + 1e-12)``, which misnormalizes tiny-norm taps by up to
+    ~sqrt(2)), this form has NO divergence regime: any ``||a|| > 0``
+    representable in f32 takes the exact reference path.
     """
-    var_floor = 1e-12
     a32 = a.astype(jnp.float32)
     b32 = b.astype(jnp.float32)
     w = kernel.reshape(-1).astype(jnp.float32)  # (C,) from the (1,1,C,1) head
@@ -82,8 +82,13 @@ def _tap_distance(a: jnp.ndarray, b: jnp.ndarray, kernel: jnp.ndarray,
     a2w = jnp.sum(jnp.square(a32) * w, axis=-1)
     b2w = jnp.sum(jnp.square(b32) * w, axis=-1)
     abw = jnp.sum(a32 * b32 * w, axis=-1)
-    na = jnp.sqrt(a2 + var_floor)
-    nb = jnp.sqrt(b2 + var_floor)
+
+    def _safe_norm(x2):
+        nz = x2 > 0.0
+        return jnp.where(nz, jnp.sqrt(jnp.where(nz, x2, 1.0)), 0.0) + eps
+
+    na = _safe_norm(a2)
+    nb = _safe_norm(b2)
     val = a2w / jnp.square(na) + b2w / jnp.square(nb) - 2.0 * abw / (na * nb)
     return jnp.mean(val, axis=(1, 2))[:, None, None, None]  # (B,1,1,1)
 

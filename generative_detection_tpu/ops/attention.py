@@ -30,6 +30,21 @@ from .dispatch import pallas_enabled
 _NEG_INF = -1e30
 
 
+def _snap_block(l: int, target: int) -> int:
+    """Largest multiple of 128 that divides ``l`` and is <= ``target``.
+
+    Every Pallas path here tiles L with ``grid = l // block``; a block that
+    does not divide L would silently truncate the grid and leave the tail
+    rows of the output UNWRITTEN (uninitialized memory, no error). Callers
+    guarantee ``l % 128 == 0`` via the dispatch gate, so 128 always divides.
+    """
+    b = min(target, l)
+    b -= b % 128
+    while l % b:
+        b -= 128
+    return b
+
+
 def _attention_reference(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
     c = q.shape[-1]
     scale = jnp.asarray(c, jnp.float32) ** -0.5
@@ -75,8 +90,8 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, scale, k
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
 def _attention_pallas(q, k, v, block_q=256, block_k=512, interpret=False):
     b, l, c = q.shape
-    block_q = min(block_q, l)
-    block_k = min(block_k, l)
+    block_q = _snap_block(l, block_q)
+    block_k = _snap_block(l, block_k)
     scale = float(c) ** -0.5
     grid = (b, l // block_q, l // block_k)
     kernel = functools.partial(_flash_kernel, scale=scale, kv_steps=grid[2])
@@ -306,13 +321,16 @@ def _attention_custom(q, k, v, interpret=False):
     l = q.shape[1]
     env_bq = os.environ.get("GDT_ATTN_BQ")
     if env_bq:
-        bq = min(int(env_bq), l)
+        bq = int(env_bq)
     elif l <= 512:
         bq = l
     elif l <= 4096:
         bq = 256
     else:
         bq = 128
+    # snap to a divisor of L: a non-divisor block truncates the grid and
+    # leaves tail rows uninitialized (silent corruption)
+    bq = _snap_block(l, bq)
     return _make_attention_custom(bq, interpret)(q, k, v)
 
 
@@ -328,9 +346,9 @@ def _attention_flash_lib(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.
     b, l, c = q.shape
     # tuned on v5e for the 4096x256 blocks (docs/BENCH.md): block_q beyond
     # 512 fails to compile at d=256 (VMEM); block_k=1024 is ~5% faster than
-    # 512 in fwd+bwd
-    bq = min(512, l)
-    bk = min(1024, l)
+    # 512 in fwd+bwd. Snapped to divisors of L (non-divisors truncate tiles).
+    bq = _snap_block(l, 512)
+    bk = _snap_block(l, 1024)
     sizes = BlockSizes(
         block_q=bq,
         block_k_major=bk,

@@ -508,8 +508,19 @@ def _wino_fwd(z, kernel, bias, dtype, m_out):
 def _wino_bwd(dtype, m_out, res, dy):
     z, kernel, no_bias = res
     # dgrad: SAME 3x3 dz = conv(dy, rot180(K) with in/out channels swapped).
+    # The swapped channel order means the dgrad tile is _pick_tile(h, w,
+    # cout, cin) — NOT the forward tile wino_rows_eligible() proved. For
+    # asymmetric convs whose swapped tile doesn't fit VMEM, fall back to
+    # XLA's direct dgrad instead of raising mid-backward (the forward keeps
+    # its Winograd win either way).
     k_rot = kernel[::-1, ::-1].transpose(0, 1, 3, 2)
-    dz = _fwd_impl(dy, k_rot, None, dtype, m_out).astype(z.dtype)
+    if _pick_tile(
+        dy.shape[1], dy.shape[2], dy.shape[3], k_rot.shape[-1],
+        jnp.dtype(dtype).itemsize, m_out,
+    ) is not None:
+        dz = _fwd_impl(dy, k_rot, None, dtype, m_out).astype(z.dtype)
+    else:
+        dz = _direct(dy, k_rot, dtype).astype(z.dtype)
     # wgrad: the in-kernel Winograd accumulation when a tile fits, else
     # XLA's native weight-grad conv (transpose of the conv, which is linear
     # in K — no forward evaluation).

@@ -69,6 +69,7 @@ class Trainer:
         log_every_n_steps: int = 50,
         check_val_every_n_epoch: int = 1,
         limit_val_batches: Optional[int] = None,
+        limit_test_batches: Optional[int] = None,
         callbacks: Optional[List[Callback]] = None,
         logger: Optional[MetricsLogger] = None,
         seed: int = 23,
@@ -104,6 +105,9 @@ class Trainer:
             )
         self.limit_val_batches = (
             None if limit_val_batches is None else int(limit_val_batches)
+        )
+        self.limit_test_batches = (
+            None if limit_test_batches is None else int(limit_test_batches)
         )
         self.callbacks = callbacks or []
         self.logger = logger
@@ -515,7 +519,11 @@ class Trainer:
         self.save_last_checkpoint()
 
     def validate(self, datamodule, split: str = "val") -> Dict[str, float]:
-        if self.limit_val_batches == 0:  # Lightning: 0 disables validation
+        # Lightning scopes the limits per loop: limit_val_batches governs the
+        # val loop ONLY — trainer.test() runs regardless and is capped by
+        # limit_test_batches.
+        limit = self.limit_val_batches if split == "val" else self.limit_test_batches
+        if limit == 0:
             return {}
         if not self._train_fns:
             self._build_fns()
@@ -541,7 +549,7 @@ class Trainer:
             )
         tree_add = self._tree_add
         for i, batch in enumerate(loader()):
-            if self.limit_val_batches is not None and i >= self.limit_val_batches:
+            if limit is not None and i >= limit:
                 break
             host, meta = m.prepare_batch_host(batch)
             prepared = m._prepare_jit()(shard_batch(host, self.mesh), meta)

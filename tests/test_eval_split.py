@@ -32,9 +32,9 @@ def setup():
     return model, data
 
 
-def _trainer_with_state(model, data, tmp_path, **kw):
+def _trainer_with_state(model, data, tmp_path, limit_val_batches=1, **kw):
     t = Trainer(
-        model, logdir=str(tmp_path / "run"), limit_val_batches=1,
+        model, logdir=str(tmp_path / "run"), limit_val_batches=limit_val_batches,
         step_counting="batch", **kw,
     )
     t._build_fns()
@@ -77,6 +77,21 @@ def test_limit_val_batches_zero_skips(setup, tmp_path):
     )
     assert t.validate(data) == {}
     assert not t._eval_fns  # never even built an eval step
+
+
+def test_limit_val_zero_does_not_skip_test(setup, tmp_path):
+    """Lightning scopes the limits per loop: limit_val_batches=0 disables the
+    VAL loop only — trainer.test() must still run (capped by
+    limit_test_batches)."""
+    model, data = setup
+    t = _trainer_with_state(
+        model, data, tmp_path, limit_val_batches=0, limit_test_batches=1
+    )
+    res = t.test(data)
+    assert res and all(k.startswith("test/") for k in res)
+    # and limit_test_batches=0 skips the test loop
+    t2 = _trainer_with_state(model, data, tmp_path, limit_test_batches=0)
+    assert t2.test(data) == {}
 
 
 def test_fractional_limit_val_batches_rejected(setup, tmp_path):

@@ -94,6 +94,47 @@ def test_process_loader_propagates_worker_error():
     loader.shutdown()
 
 
+class _SlowTail(SyntheticPatchTrain):
+    def __getitem__(self, idx):
+        if idx >= 4:
+            import time
+
+            time.sleep(120)
+        return super().__getitem__(idx)
+
+
+def test_process_loader_detects_dead_worker_promptly():
+    """A killed worker (OOM analogue) must surface within the 5 s liveness
+    poll, not after the full 600 s result timeout (torch DataLoader
+    semantics)."""
+    import os
+    import signal
+    import threading
+    import time
+
+    loader = _Loader(
+        _SlowTail(length=8, patch_height=32),
+        batch_size=4,
+        shuffle=False,
+        num_workers=1,
+        prefetch=0,
+        worker_type="process",
+    )
+    it = loader()
+    next(it)  # first batch arrives; worker now sleeps in batch 2
+
+    def kill_soon():
+        time.sleep(1.0)
+        os.kill(loader._pool.procs[0].pid, signal.SIGKILL)
+
+    threading.Thread(target=kill_soon, daemon=True).start()
+    t0 = time.monotonic()
+    with pytest.raises(RuntimeError, match="died without a result"):
+        next(it)
+    assert time.monotonic() - t0 < 30.0
+    loader.shutdown()
+
+
 def test_worker_type_validated():
     with pytest.raises(ValueError, match="thread|process"):
         _Loader(SyntheticPatchTrain(length=4), batch_size=2, shuffle=False, worker_type="gpu")

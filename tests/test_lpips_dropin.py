@@ -142,10 +142,9 @@ def test_tap_distance_matches_naive_normalize_form(rng):
 def test_tap_distance_gradient_finite_at_zero_pixels(rng):
     """At an all-zero ReLU pixel the naive/reference form emits NaN
     gradients (sqrt'(0)=inf times a zero cotangent) — a real training
-    hazard. The fused form's sqrt(a2 + 1e-12) variance floor keeps every
-    gradient finite (incl. under f32 FTZ, where an eps^2=1e-20 floor's
-    backward powers would flush subnormal and NaN) while deviating by
-    < ~5e-13 relative elsewhere (docstring rationale in models/lpips.py)."""
+    hazard. The fused form's safe-sqrt ``where`` keeps every gradient
+    finite while taking the EXACT reference normalization whenever
+    ||a|| > 0 (docstring rationale in models/lpips.py)."""
     from generative_detection_tpu.models.lpips import _tap_distance
 
     a = rng.normal(size=(1, 4, 4, 32)).astype(np.float32)
@@ -158,3 +157,26 @@ def test_tap_distance_gradient_finite_at_zero_pixels(rng):
     assert not np.all(np.isfinite(np.asarray(g_naive)))  # documents the hazard
     g_fused = jax.grad(lambda x: jnp.sum(_tap_distance(x, bj, wj)))(aj)
     assert np.all(np.isfinite(np.asarray(g_fused)))
+
+
+def test_tap_distance_exact_at_tiny_norms(rng):
+    """Tiny-but-nonzero tap norms (||a|| ~ 1e-6) must take the EXACT
+    reference x/(||x||+eps) path — the earlier variance-floor draft
+    (sqrt(a2 + 1e-12)) misnormalized this regime by up to ~sqrt(2) (a ~30%
+    error in the normalized magnitude); the safe-sqrt form has no
+    divergence regime."""
+    from generative_detection_tpu.models.lpips import _tap_distance
+
+    a = (rng.normal(size=(1, 4, 4, 32)) * 1e-6).astype(np.float32)
+    b = rng.normal(size=(1, 4, 4, 32)).astype(np.float32)
+    b[0, 2, 2, :] = (rng.normal(size=32) * 3e-7).astype(np.float32)  # tiny both
+    w = (rng.normal(size=(1, 1, 32, 1)) ** 2).astype(np.float32)
+    aj, bj, wj = jnp.asarray(a), jnp.asarray(b), jnp.asarray(w)
+    got = np.asarray(_tap_distance(aj, bj, wj))
+    want = np.asarray(_naive_tap(aj, bj, wj))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-7)
+    g_new = jax.grad(lambda x: jnp.sum(_tap_distance(x, bj, wj)))(aj)
+    g_old = jax.grad(lambda x: jnp.sum(_naive_tap(x, bj, wj)))(aj)
+    np.testing.assert_allclose(
+        np.asarray(g_new), np.asarray(g_old), rtol=1e-4, atol=1e-6
+    )

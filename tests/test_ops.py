@@ -114,6 +114,26 @@ def test_flash_attention_interpret_matches_reference(rng, monkeypatch):
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
 
 
+def test_attention_non_divisor_block_lengths(rng, monkeypatch):
+    """L that the default block sizes do NOT divide (e.g. 640 = 5*128): the
+    block must snap to a divisor of L — a non-divisor block truncates the
+    grid and returns uninitialized tail rows (silent corruption)."""
+    from generative_detection_tpu.ops.attention import _snap_block
+
+    assert _snap_block(640, 256) == 128
+    assert _snap_block(640, 512) == 128
+    assert _snap_block(768, 512) == 384
+    assert _snap_block(4096, 256) == 256
+    monkeypatch.setenv("GDT_PALLAS_INTERPRET", "1")
+    for l in (640, 384):
+        q = jnp.asarray(rng.normal(size=(1, l, 128)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(1, l, 128)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(1, l, 128)).astype(np.float32))
+        got = np.asarray(single_head_attention(q, k, v, use_pallas=True))
+        want = np.asarray(_attention_reference(q, k, v))
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+
 def test_custom_attention_fwd_bwd_matches_reference(rng):
     """The one-pass custom-vjp flash kernel (interpret mode): forward and all
     three input grads vs plain autodiff over the reference formulation, at a

@@ -149,6 +149,40 @@ def test_wino_rows_gradients(interpret_env):
             np.testing.assert_allclose(np.asarray(bb), np.asarray(a), rtol=2e-4, atol=2e-4)
 
 
+def test_wino_bwd_dgrad_falls_back_when_swapped_tile_missing(interpret_env, monkeypatch):
+    """Asymmetric convs: the dgrad re-runs the kernel with channels SWAPPED
+    (cout as input), so a forward-eligible conv may have no VMEM-provable
+    dgrad tile. The backward must fall back to XLA's direct dgrad — never
+    raise mid-backward — and the gradients must stay correct."""
+    from generative_detection_tpu.ops import winograd_pallas as wp
+
+    rng = np.random.default_rng(2)
+    cin, cout = 4, 8
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, cin)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(3, 3, cin, cout)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.normal(size=(cout,)).astype(np.float32))
+
+    real_pick = wp._pick_tile
+    calls = []
+
+    def pick(h, w, c, co, itemsize, m_out):
+        calls.append((c, co))
+        if c == cout:  # the swapped (dgrad) direction: pretend no tile fits
+            return None
+        return real_pick(h, w, c, co, itemsize, m_out)
+
+    monkeypatch.setattr(wp, "_pick_tile", pick)
+    gw = jax.grad(
+        lambda k_, x_, b_: jnp.sum(wp.wino_rows_conv3x3(x_, k_, b_) ** 2), (0, 1, 2)
+    )(k, x, b)
+    gd = jax.grad(
+        lambda k_, x_, b_: jnp.sum(direct_conv3x3(x_, k_, b_) ** 2), (0, 1, 2)
+    )(k, x, b)
+    assert (cout, cin) in calls  # the swapped direction was consulted
+    for a, bb in zip(gd, gw):
+        np.testing.assert_allclose(np.asarray(bb), np.asarray(a), rtol=2e-4, atol=2e-4)
+
+
 def test_conv3x3_pallas_winograd_dispatch(interpret_env, monkeypatch):
     from generative_detection_tpu.models.blocks import Conv3x3
 

@@ -121,9 +121,10 @@ def validate(
         report["warnings"].append(f"{n_missing}/{n_checked} image files missing")
 
     # -- stage 3: h-min/max stats --------------------------------------------
-    hmm = h_minmax_dir if os.path.isabs(h_minmax_dir) else h_minmax_dir
-    if not (os.path.isfile(os.path.join(hmm, "hmin.pkl"))
-            and os.path.isfile(os.path.join(hmm, "hmax.pkl"))):
+    # resolved exactly as the reader resolves it (relative to CWD,
+    # data/nuscenes.py::_load_h_minmax) so the preflight verdict matches
+    if not (os.path.isfile(os.path.join(h_minmax_dir, "hmin.pkl"))
+            and os.path.isfile(os.path.join(h_minmax_dir, "hmax.pkl"))):
         report["warnings"].append(
             f"h-min/max stats not found under '{h_minmax_dir}' — the reader "
             "falls back to defaults; run compute_dataset_stats.py + "
