@@ -58,11 +58,18 @@ class CheckpointManager:
         save_last: bool = True,
         mode: str = "min",
         every_n_train_steps: Optional[int] = None,
+        async_checkpointing: bool = False,
     ):
         self.ckptdir = os.path.abspath(ckptdir)
         self.monitor = monitor
         self.save_last_enabled = save_last
         self.every_n_train_steps = every_n_train_steps
+        # Async saves: orbax copies device arrays to HOST synchronously (so
+        # the donated step buffers are safe to reuse immediately) and runs
+        # the filesystem write on a background thread — the step never
+        # stalls on disk. A save overlapping a previous one waits internally;
+        # close() (and restore-after-save) drain the queue.
+        self.async_checkpointing = async_checkpointing
         os.makedirs(self.ckptdir, exist_ok=True)
 
         options = ocp.CheckpointManagerOptions(
@@ -70,7 +77,7 @@ class CheckpointManager:
             best_fn=(lambda m: m[monitor]) if monitor else None,
             best_mode=mode,
             create=True,
-            enable_async_checkpointing=False,
+            enable_async_checkpointing=async_checkpointing,
         )
         self._best = ocp.CheckpointManager(
             os.path.join(self.ckptdir, "best"), options=options
@@ -78,7 +85,8 @@ class CheckpointManager:
         self._last = ocp.CheckpointManager(
             os.path.join(self.ckptdir, "last"),
             options=ocp.CheckpointManagerOptions(
-                max_to_keep=1, create=True, enable_async_checkpointing=False
+                max_to_keep=1, create=True,
+                enable_async_checkpointing=async_checkpointing,
             ),
         )
         self._trainstep: Optional[ocp.CheckpointManager] = None
@@ -95,7 +103,8 @@ class CheckpointManager:
                 ),
             )
         self._trainstep.save(step, args=ocp.args.StandardSave(_state_to_pytree(state)))
-        self._trainstep.wait_until_finished()
+        if not self.async_checkpointing:
+            self._trainstep.wait_until_finished()
 
     def save_best(self, step: int, state: TrainState, metrics: dict) -> None:
         if self.monitor and self.monitor not in metrics:
@@ -107,13 +116,15 @@ class CheckpointManager:
             args=ocp.args.StandardSave(_state_to_pytree(state)),
             metrics=clean,
         )
-        self._best.wait_until_finished()
+        if not self.async_checkpointing:
+            self._best.wait_until_finished()
 
     def save_last(self, step: int, state: TrainState) -> None:
         if not self.save_last_enabled:
             return
         self._last.save(step, args=ocp.args.StandardSave(_state_to_pytree(state)))
-        self._last.wait_until_finished()
+        if not self.async_checkpointing:
+            self._last.wait_until_finished()
 
     def latest_step(self) -> Optional[int]:
         return self._last.latest_step()
@@ -139,6 +150,8 @@ class CheckpointManager:
         # Fresh manager: orbax binds a handler registry to the first args
         # type a manager sees, so a manager that already did StandardSave
         # would reject PyTreeRestore.
+        if self.async_checkpointing:
+            self.wait_until_finished()  # in-flight saves must finalize first
         sub = "last" if self._last.latest_step() is not None else "best"
         mgr = ocp.CheckpointManager(
             os.path.join(self.ckptdir, sub),
@@ -168,8 +181,17 @@ class CheckpointManager:
             step, args=ocp.args.PyTreeRestore(item=item, partial_restore=True)
         )
 
+    def wait_until_finished(self) -> None:
+        """Drain in-flight async saves (no-op when saves are synchronous)."""
+        self._best.wait_until_finished()
+        self._last.wait_until_finished()
+        if self._trainstep is not None:
+            self._trainstep.wait_until_finished()
+
     def restore(self, template: TrainState, step: Optional[int] = None) -> TrainState:
         """Restore into the shape/dtype structure of ``template``."""
+        if self.async_checkpointing:
+            self.wait_until_finished()  # in-flight saves must finalize first
         mgr = self._last if self._last.latest_step() is not None else self._best
         if step is None:
             step = mgr.latest_step()
@@ -180,6 +202,7 @@ class CheckpointManager:
         return serialization.from_state_dict(template, restored)
 
     def close(self):
+        self.wait_until_finished()  # async saves must land before teardown
         self._best.close()
         self._last.close()
         if self._trainstep is not None:

@@ -70,6 +70,7 @@ class Trainer:
         check_val_every_n_epoch: int = 1,
         limit_val_batches: Optional[int] = None,
         limit_test_batches: Optional[int] = None,
+        async_checkpointing: bool = False,
         callbacks: Optional[List[Callback]] = None,
         logger: Optional[MetricsLogger] = None,
         seed: int = 23,
@@ -109,6 +110,8 @@ class Trainer:
         self.limit_test_batches = (
             None if limit_test_batches is None else int(limit_test_batches)
         )
+        # overlap orbax saves with training (opt-in; see CheckpointManager)
+        self.async_checkpointing = async_checkpointing
         self.callbacks = callbacks or []
         self.logger = logger
         self.seed = seed
@@ -296,6 +299,9 @@ class Trainer:
     def save_last_checkpoint(self):
         if self.state is not None and self._ckpt_mgr is not None:
             self._ckpt_mgr.save_last(self.global_batch(), self.state)
+            # signal/exception saves must land before the process exits —
+            # drain any async write rather than racing interpreter teardown
+            self._ckpt_mgr.wait_until_finished()
 
     # -- image logging ------------------------------------------------------------
 
@@ -417,6 +423,7 @@ class Trainer:
             self.ckptdir,
             monitor=self.monitor,
             save_top_k=self.save_top_k,
+            async_checkpointing=self.async_checkpointing,
             save_last=True,
         )
         rng = jax.random.PRNGKey(self.seed)
