@@ -199,7 +199,18 @@ class CheckpointManager:
             raise FileNotFoundError(f"no checkpoint under {self.ckptdir}")
         abstract = jax.tree.map(np.asarray, _state_to_pytree(template))
         restored = mgr.restore(step, args=ocp.args.StandardRestore(abstract))
-        return serialization.from_state_dict(template, restored)
+        out = serialization.from_state_dict(template, restored)
+        # Restored leaves are host arrays; re-establish the template's
+        # shardings (replicated, or ZeRO-1-sharded optimizer moments) so the
+        # first post-resume step sees the same input shardings as a fresh
+        # state and never recompiles or silently replicates.
+        return jax.tree.map(
+            lambda t, r: (
+                jax.device_put(r, t.sharding) if isinstance(t, jax.Array) else r
+            ),
+            template,
+            out,
+        )
 
     def close(self):
         self.wait_until_finished()  # async saves must land before teardown

@@ -71,6 +71,7 @@ class Trainer:
         limit_val_batches: Optional[int] = None,
         limit_test_batches: Optional[int] = None,
         async_checkpointing: bool = False,
+        zero1_optimizer_sharding: bool = False,
         callbacks: Optional[List[Callback]] = None,
         logger: Optional[MetricsLogger] = None,
         seed: int = 23,
@@ -112,6 +113,8 @@ class Trainer:
         )
         # overlap orbax saves with training (opt-in; see CheckpointManager)
         self.async_checkpointing = async_checkpointing
+        # ZeRO-1: shard Adam moments over the data axis (see create_train_state)
+        self.zero1_optimizer_sharding = zero1_optimizer_sharding
         self.callbacks = callbacks or []
         self.logger = logger
         self.seed = seed
@@ -435,7 +438,7 @@ class Trainer:
             self.state = self._pallas_fallback(
                 lambda: create_train_state(
                     m, rng, batch_size, self._opt_ae, self._opt_disc,
-                    mesh=self.mesh,
+                    mesh=self.mesh, zero1=self.zero1_optimizer_sharding,
                 )
             )
             # Config-driven torch-checkpoint init (ref autoencoder.py:97-98:

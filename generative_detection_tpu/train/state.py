@@ -55,6 +55,23 @@ def make_optimizers(
     return build(), build()
 
 
+def zero1_leaf_spec(shape, n: int, axis_name: str = "data"):
+    """PartitionSpec sharding the LARGEST divisible axis of ``shape`` over
+    the mesh axis — ZeRO-1 optimizer-state partitioning. Leaves with no
+    axis divisible by ``n`` (scalars, tiny vectors) stay replicated."""
+    from jax.sharding import PartitionSpec
+
+    best = None
+    for i, d in enumerate(shape):
+        if d % n == 0 and d >= n and (best is None or d > shape[best]):
+            best = i
+    if best is None:
+        return PartitionSpec()
+    spec = [None] * len(shape)
+    spec[best] = axis_name
+    return PartitionSpec(*spec)
+
+
 def create_train_state(
     model,
     rng: jax.Array,
@@ -62,6 +79,7 @@ def create_train_state(
     opt_ae: optax.GradientTransformation,
     opt_disc: optax.GradientTransformation,
     mesh=None,
+    zero1: bool = False,
 ) -> TrainState:
     """Initialize the full train state under ONE jit.
 
@@ -74,6 +92,14 @@ def create_train_state(
     the first train-step call sees the same input shardings as every later
     call — without it the step compiles twice (unsharded-input variant for
     call 1, step-output shardings for call 2+; two ~85 MB executables).
+
+    ``zero1``: shard both Adam states (mu/nu + MultiSteps accumulators) over
+    the ``data`` mesh axis — ZeRO stage 1. Params and grads stay replicated
+    (the DP step already psums grads); only the optimizer moments, which are
+    never consumed across shards, are partitioned: 2/3 of optimizer memory
+    divides by the mesh size. XLA's sharding propagation turns the update
+    into compute-on-shard + all-gather of the param delta — the idiomatic
+    GSPMD formulation (annotate shardings, let XLA insert collectives).
     """
 
     def _init(rng_):
@@ -90,9 +116,27 @@ def create_train_state(
             rng=state_rng,
         )
 
-    if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec
+    if mesh is None:
+        return jax.jit(_init)(rng)
 
-        out = NamedSharding(mesh, PartitionSpec())
-        return jax.jit(_init, out_shardings=out)(rng)
-    return jax.jit(_init)(rng)
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    repl = NamedSharding(mesh, PartitionSpec())
+    if not zero1 or mesh.shape.get("data", 1) <= 1:
+        return jax.jit(_init, out_shardings=repl)(rng)
+
+    n = mesh.shape["data"]
+    abstract = jax.eval_shape(_init, rng)
+
+    def opt_ns(x):
+        return NamedSharding(mesh, zero1_leaf_spec(x.shape, n))
+
+    shardings = TrainState(
+        step=repl,
+        net_params=jax.tree.map(lambda _: repl, abstract.net_params),
+        loss_params=jax.tree.map(lambda _: repl, abstract.loss_params),
+        opt_ae_state=jax.tree.map(opt_ns, abstract.opt_ae_state),
+        opt_disc_state=jax.tree.map(opt_ns, abstract.opt_disc_state),
+        rng=repl,
+    )
+    return jax.jit(_init, out_shardings=shardings)(rng)

@@ -1,0 +1,106 @@
+"""ZeRO-1 optimizer-state sharding over the data mesh axis.
+
+``create_train_state(..., zero1=True)`` partitions both Adam states' moment
+tensors across the mesh (largest divisible axis), keeping params/grads
+replicated — 2/3 of optimizer memory divides by the mesh size while the
+update math is untouched. XLA's sharding propagation inserts the
+compute-on-shard + all-gather pattern. Numerics must be IDENTICAL to the
+replicated state (same jitted step, different layout only).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from generative_detection_tpu.parallel import create_mesh, shard_batch
+from generative_detection_tpu.train.state import (
+    create_train_state,
+    make_optimizers,
+    zero1_leaf_spec,
+)
+from generative_detection_tpu.train.steps import make_train_step
+
+from tests.test_models import small_model
+from tests.test_train_step import _batch
+
+
+def _sharded_leaf_count(tree):
+    return sum(
+        1
+        for leaf in jax.tree.leaves(tree)
+        if isinstance(leaf, jax.Array)
+        and any(s is not None for s in getattr(leaf.sharding, "spec", ()))
+    )
+
+
+def test_zero1_leaf_spec():
+    from jax.sharding import PartitionSpec
+
+    assert zero1_leaf_spec((3, 3, 128, 256), 8) == PartitionSpec(None, None, None, "data")
+    assert zero1_leaf_spec((16,), 8) == PartitionSpec("data")
+    assert zero1_leaf_spec((), 8) == PartitionSpec()
+    assert zero1_leaf_spec((7, 5), 8) == PartitionSpec()  # nothing divisible
+
+
+def test_zero1_state_sharded_and_step_equivalent(rng_factory=None):
+    rng = np.random.default_rng(0)
+    m = small_model()
+    m.learning_rate = 1e-4
+    mesh = create_mesh()
+    assert mesh.shape["data"] == 8
+    opt_ae, opt_disc = make_optimizers(1e-4)
+
+    s_repl = create_train_state(
+        m, jax.random.PRNGKey(0), 8, opt_ae, opt_disc, mesh=mesh
+    )
+    s_z1 = create_train_state(
+        m, jax.random.PRNGKey(0), 8, opt_ae, opt_disc, mesh=mesh, zero1=True
+    )
+    # moments actually sharded; params replicated
+    assert _sharded_leaf_count(s_z1.opt_ae_state) > 0
+    assert _sharded_leaf_count(s_z1.net_params) == 0
+    assert _sharded_leaf_count(s_repl.opt_ae_state) == 0
+
+    step_fn = jax.jit(make_train_step(m, opt_ae, opt_disc, step_counting="batch"))
+    batch = shard_batch(_batch(m, rng, bs=8), mesh)
+    s_repl, m_repl = step_fn(s_repl, batch)
+    s_z1, m_z1 = step_fn(s_z1, batch)
+    # numerically equivalent params after one step: the update math is
+    # unchanged, but partitioning reorders the grad-norm/update reductions
+    # (measured drift ~1e-9 abs / ~8e-6 rel per step) — the standard ZeRO
+    # caveat; over more steps the drift amplifies chaotically like any
+    # reduction-order change, so the one-step bound is the meaningful pin
+    for a, b in zip(jax.tree.leaves(s_repl.net_params), jax.tree.leaves(s_z1.net_params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=3e-5, atol=1e-8
+        )
+    np.testing.assert_allclose(
+        float(m_repl["aeloss"]), float(m_z1["aeloss"]), rtol=1e-6
+    )
+    # a second step still runs and preserves the ZeRO-1 layout
+    s_z1, m_z1 = step_fn(s_z1, batch)
+    assert np.isfinite(float(m_z1["aeloss"]))
+    assert _sharded_leaf_count(s_z1.opt_ae_state) > 0
+
+
+def test_zero1_checkpoint_roundtrip(tmp_path):
+    from generative_detection_tpu.train.checkpoint import CheckpointManager
+
+    m = small_model()
+    m.learning_rate = 1e-4
+    mesh = create_mesh()
+    opt_ae, opt_disc = make_optimizers(1e-4)
+    state = create_train_state(
+        m, jax.random.PRNGKey(1), 8, opt_ae, opt_disc, mesh=mesh, zero1=True
+    )
+    mgr = CheckpointManager(str(tmp_path / "ckpt"), monitor=None)
+    mgr.save_last(0, state)
+    template = create_train_state(
+        m, jax.random.PRNGKey(2), 8, opt_ae, opt_disc, mesh=mesh, zero1=True
+    )
+    restored = mgr.restore(template)
+    for a, b in zip(jax.tree.leaves(state.net_params), jax.tree.leaves(restored.net_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # restore re-establishes the ZeRO-1 shardings from the template
+    assert _sharded_leaf_count(restored.opt_ae_state) > 0
+    mgr.close()
