@@ -526,6 +526,12 @@ class Trainer:
                     cb.on_exception(self, e)
                 self.save_last_checkpoint()
                 raise
+            finally:
+                # Lightning calls datamodule.teardown at fit end: reaps
+                # process-pool loader workers instead of leaking them to
+                # interpreter exit
+                if hasattr(datamodule, "teardown"):
+                    datamodule.teardown()
         self.save_last_checkpoint()
 
     def validate(self, datamodule, split: str = "val") -> Dict[str, float]:
