@@ -61,18 +61,22 @@ def _tap_distance(a: jnp.ndarray, b: jnp.ndarray, kernel: jnp.ndarray,
     only five sibling channel reductions over raw a, b — XLA fuses them into
     ONE read of each tap, and the backward re-reads each tap once.
 
-    One deliberate refinement: the norms use the safe-sqrt ``where`` pattern
-    — ``na = sqrt(a2) + eps`` EXACTLY (bit-matching the reference
-    normalization) whenever ``a2 > 0``, with the ``a2 == 0`` branch routed
-    around the sqrt so its gradient is cut instead of ``sqrt'(0) = inf``.
-    The reference form (torch and the naive jnp port alike) emits NaN
-    gradients at pixels where a ReLU tap is all-zero across channels (inf
-    times a zero cotangent), a real training hazard this removes (pinned by
-    test); at such pixels every numerator is zero, so the value agrees with
-    the reference either way. Unlike a variance floor (an earlier draft used
-    ``sqrt(a2 + 1e-12)``, which misnormalizes tiny-norm taps by up to
-    ~sqrt(2)), this form has NO divergence regime: any ``||a|| > 0``
-    representable in f32 takes the exact reference path.
+    Two deliberate refinements over a literal ``sqrt(a2) + eps``:
+
+    - safe-sqrt ``where``: the ``a2 == 0`` branch routes around the sqrt so
+      its gradient is cut instead of ``sqrt'(0) = inf`` — the reference form
+      (torch and the naive jnp port alike) emits NaN gradients at pixels
+      where a ReLU tap is all-zero across channels, a real training hazard
+      (pinned by test). Values agree with the reference there (every
+      numerator is zero).
+    - a 3e-9 norm floor: the EXPANDED backward carries ``1/na^4`` terms the
+      reference's factored form never builds; at ``na ~ 1e-10`` they reach
+      1e40 and overflow f32 to inf. ``na >= 3e-9`` caps them at ~1.2e34
+      (f32 max 3.4e38) and ``jnp.maximum`` cuts the sqrt cotangent below
+      the floor. Reference semantics are EXACT for every ``||a|| >= 3e-9``;
+      below that a VGG tap is numerically zero (activations are 1e-3..1e2),
+      five decades tighter than the 1e-12 variance floor of an earlier
+      draft (which misnormalized plausible ``||a|| ~ 1e-6`` taps by ~30%).
     """
     a32 = a.astype(jnp.float32)
     b32 = b.astype(jnp.float32)
@@ -85,7 +89,8 @@ def _tap_distance(a: jnp.ndarray, b: jnp.ndarray, kernel: jnp.ndarray,
 
     def _safe_norm(x2):
         nz = x2 > 0.0
-        return jnp.where(nz, jnp.sqrt(jnp.where(nz, x2, 1.0)), 0.0) + eps
+        raw = jnp.where(nz, jnp.sqrt(jnp.where(nz, x2, 1.0)), 0.0) + eps
+        return jnp.maximum(raw, 3e-9)  # backward 1/na^4 overflow guard
 
     na = _safe_norm(a2)
     nb = _safe_norm(b2)

@@ -36,10 +36,11 @@ def _snap_block(l: int, target: int) -> int:
     Every Pallas path here tiles L with ``grid = l // block``; a block that
     does not divide L would silently truncate the grid and leave the tail
     rows of the output UNWRITTEN (uninitialized memory, no error). Callers
-    guarantee ``l % 128 == 0`` via the dispatch gate, so 128 always divides.
+    guarantee ``l % 128 == 0`` via the dispatch gate, so 128 always divides;
+    targets below 128 (e.g. a GDT_ATTN_BQ=64 sweep value) clamp UP to 128 —
+    sub-128 blocks underfill the lane dimension anyway.
     """
-    b = min(target, l)
-    b -= b % 128
+    b = max(128, min(target, l) - min(target, l) % 128)
     while l % b:
         b -= 128
     return b

@@ -99,7 +99,8 @@ class CheckpointManager:
             self._trainstep = ocp.CheckpointManager(
                 os.path.join(self.ckptdir, "trainstep_checkpoints"),
                 options=ocp.CheckpointManagerOptions(
-                    max_to_keep=None, create=True, enable_async_checkpointing=False
+                    max_to_keep=None, create=True,
+                    enable_async_checkpointing=self.async_checkpointing,
                 ),
             )
         self._trainstep.save(step, args=ocp.args.StandardSave(_state_to_pytree(state)))
@@ -197,20 +198,20 @@ class CheckpointManager:
             step = mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint under {self.ckptdir}")
-        abstract = jax.tree.map(np.asarray, _state_to_pytree(template))
+        # Abstract leaves carry the template's SHARDING: orbax restores each
+        # array straight onto devices in that layout (replicated, or the
+        # ZeRO-1-sharded optimizer moments), so the first post-resume step
+        # sees the same input shardings as a fresh state — and nothing ever
+        # materializes the template to host (np.asarray on a multi-host
+        # global array would raise on non-addressable shards).
+        def _abstract(x):
+            if isinstance(x, jax.Array):
+                return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+            return np.asarray(x)
+
+        abstract = jax.tree.map(_abstract, _state_to_pytree(template))
         restored = mgr.restore(step, args=ocp.args.StandardRestore(abstract))
-        out = serialization.from_state_dict(template, restored)
-        # Restored leaves are host arrays; re-establish the template's
-        # shardings (replicated, or ZeRO-1-sharded optimizer moments) so the
-        # first post-resume step sees the same input shardings as a fresh
-        # state and never recompiles or silently replicates.
-        return jax.tree.map(
-            lambda t, r: (
-                jax.device_put(r, t.sharding) if isinstance(t, jax.Array) else r
-            ),
-            template,
-            out,
-        )
+        return serialization.from_state_dict(template, restored)
 
     def close(self):
         self.wait_until_finished()  # async saves must land before teardown

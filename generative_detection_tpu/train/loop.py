@@ -96,15 +96,15 @@ class Trainer:
         # Lightning semantics for the reference-named knob: None -> all
         # batches, 0 -> skip validation entirely, int N -> first N batches.
         # Fractional limits (Lightning's 0<f<1) are NOT supported.
-        if (
-            limit_val_batches is not None
-            and isinstance(limit_val_batches, float)
-            and 0.0 < limit_val_batches < 1.0
+        for name, v in (
+            ("limit_val_batches", limit_val_batches),
+            ("limit_test_batches", limit_test_batches),
         ):
-            raise ValueError(
-                "fractional limit_val_batches is unsupported; pass an int "
-                "batch count (or 0 to skip validation)"
-            )
+            if v is not None and isinstance(v, float) and 0.0 < v < 1.0:
+                raise ValueError(
+                    f"fractional {name} is unsupported; pass an int "
+                    "batch count (or 0 to skip the loop)"
+                )
         self.limit_val_batches = (
             None if limit_val_batches is None else int(limit_val_batches)
         )
@@ -172,13 +172,28 @@ class Trainer:
             return "full"
         return "pretrain" if self._global_step_for_phase(batch_idx) < pretrain else "full"
 
-    def _build_fns(self):
+    def _build_fns(self, state_shardings=None):
+        """Build the jitted train steps.
+
+        ``state_shardings`` (a TrainState tree of NamedShardings) pins the
+        output state layout. REQUIRED under ZeRO-1: without it GSPMD
+        propagates the sharded Adam moments into the updated params, which
+        then exit the step data-sharded — every later forward would
+        all-gather weights and the second call would recompile on the new
+        input layout (verified on the 8-device virtual mesh). Metrics stay
+        layout-free (XLA's choice; they are scalars).
+        """
         opt_ae, opt_disc = make_optimizers(
             self.model.learning_rate,
             grad_clip=self.gradient_clip_val,
             accumulate_grad_batches=self.accumulate_grad_batches,
         )
         self._opt_ae, self._opt_disc = opt_ae, opt_disc
+        jit_kw = dict(
+            donate_argnums=(0,), compiler_options=step_compiler_options()
+        )
+        if state_shardings is not None:
+            jit_kw["out_shardings"] = (state_shardings, None)
         family = getattr(self.model, "step_family", "pose")
         if family == "plain":  # ldm AutoencoderKL models (ref autoencoder.py:29-32)
             from .steps import make_plain_eval_step, make_plain_train_step
@@ -191,8 +206,7 @@ class Trainer:
                     step_counting=self.step_counting,
                     accumulate_grad_batches=self.accumulate_grad_batches,
                 ),
-                donate_argnums=(0,),
-                compiler_options=step_compiler_options(),
+                **jit_kw,
             )
             self._train_fns = {"pretrain": plain, "full": plain}
             return
@@ -207,8 +221,7 @@ class Trainer:
                     step_counting=self.step_counting,
                     accumulate_grad_batches=self.accumulate_grad_batches,
                 ),
-                donate_argnums=(0,),
-                compiler_options=step_compiler_options(),
+                **jit_kw,
             )
             for phase in ("pretrain", "full")
         }
@@ -299,12 +312,15 @@ class Trainer:
 
     # -- checkpointing ----------------------------------------------------------
 
-    def save_last_checkpoint(self):
+    def save_last_checkpoint(self, drain: bool = True):
+        """``drain=True`` (the signal/exception/fit-exit default) blocks until
+        any async write lands — the process may exit right after. The routine
+        epoch-end save passes ``drain=False`` so async checkpointing actually
+        overlaps training there."""
         if self.state is not None and self._ckpt_mgr is not None:
             self._ckpt_mgr.save_last(self.global_batch(), self.state)
-            # signal/exception saves must land before the process exits —
-            # drain any async write rather than racing interpreter teardown
-            self._ckpt_mgr.wait_until_finished()
+            if drain:
+                self._ckpt_mgr.wait_until_finished()
 
     # -- image logging ------------------------------------------------------------
 
@@ -441,6 +457,14 @@ class Trainer:
                     mesh=self.mesh, zero1=self.zero1_optimizer_sharding,
                 )
             )
+            if self.zero1_optimizer_sharding:
+                # re-jit the steps with the output layout pinned to the
+                # ZeRO-1 state (see _build_fns docstring)
+                self._build_fns(
+                    state_shardings=jax.tree.map(
+                        lambda x: x.sharding, self.state
+                    )
+                )
             # Config-driven torch-checkpoint init (ref autoencoder.py:97-98:
             # the constructor loads ckpt_path before Lightning ever resumes);
             # an explicit resume still restores OVER it, matching Lightning.
@@ -514,7 +538,7 @@ class Trainer:
                         self.validate(datamodule)
                     for cb in self.callbacks:
                         cb.on_epoch_end(self)
-                    self.save_last_checkpoint()
+                    self.save_last_checkpoint(drain=False)  # overlap async
                     if done:
                         break
             except KeyboardInterrupt:

@@ -180,3 +180,25 @@ def test_tap_distance_exact_at_tiny_norms(rng):
     np.testing.assert_allclose(
         np.asarray(g_new), np.asarray(g_old), rtol=1e-4, atol=1e-6
     )
+
+
+def test_tap_distance_gradient_finite_below_norm_floor(rng):
+    """0 < ||a|| << 3e-9: the expanded backward's 1/na^4 terms would reach
+    ~1e40 (f32 inf) without the norm floor — the floor caps them and cuts
+    the sqrt cotangent, so gradients stay finite where the factored
+    reference form survives but a floor-less expansion overflows."""
+    from generative_detection_tpu.models.lpips import _tap_distance
+
+    a = (rng.normal(size=(1, 4, 4, 32)) * 1e-10).astype(np.float32)
+    b = rng.normal(size=(1, 4, 4, 32)).astype(np.float32)
+    w = (rng.normal(size=(1, 1, 32, 1)) ** 2).astype(np.float32)
+    aj, bj, wj = jnp.asarray(a), jnp.asarray(b), jnp.asarray(w)
+    val = np.asarray(_tap_distance(aj, bj, wj))
+    assert np.all(np.isfinite(val))
+    for arg in (0, 1):
+        g = jax.grad(
+            lambda x, arg=arg: jnp.sum(
+                _tap_distance(*((x, bj) if arg == 0 else (aj, x)), wj)
+            )
+        )(aj if arg == 0 else bj)
+        assert np.all(np.isfinite(np.asarray(g))), f"grad arg{arg} not finite"

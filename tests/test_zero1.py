@@ -61,10 +61,19 @@ def test_zero1_state_sharded_and_step_equivalent(rng_factory=None):
     assert _sharded_leaf_count(s_z1.net_params) == 0
     assert _sharded_leaf_count(s_repl.opt_ae_state) == 0
 
-    step_fn = jax.jit(make_train_step(m, opt_ae, opt_disc, step_counting="batch"))
+    step = make_train_step(m, opt_ae, opt_disc, step_counting="batch")
+    step_fn = jax.jit(step)
+    # ZeRO-1 steps pin the output layout (Trainer._build_fns does the same):
+    # without out_shardings GSPMD propagates the sharded moments into the
+    # updated params, which would exit the step data-sharded
+    z1_fn = jax.jit(
+        step, out_shardings=(jax.tree.map(lambda x: x.sharding, s_z1), None)
+    )
     batch = shard_batch(_batch(m, rng, bs=8), mesh)
     s_repl, m_repl = step_fn(s_repl, batch)
-    s_z1, m_z1 = step_fn(s_z1, batch)
+    s_z1, m_z1 = z1_fn(s_z1, batch)
+    # the params contract: replicated in, replicated OUT
+    assert _sharded_leaf_count(s_z1.net_params) == 0
     # numerically equivalent params after one step: the update math is
     # unchanged, but partitioning reorders the grad-norm/update reductions
     # (measured drift ~1e-9 abs / ~8e-6 rel per step) — the standard ZeRO
@@ -78,9 +87,33 @@ def test_zero1_state_sharded_and_step_equivalent(rng_factory=None):
         float(m_repl["aeloss"]), float(m_z1["aeloss"]), rtol=1e-6
     )
     # a second step still runs and preserves the ZeRO-1 layout
-    s_z1, m_z1 = step_fn(s_z1, batch)
+    s_z1, m_z1 = z1_fn(s_z1, batch)
     assert np.isfinite(float(m_z1["aeloss"]))
     assert _sharded_leaf_count(s_z1.opt_ae_state) > 0
+    assert _sharded_leaf_count(s_z1.net_params) == 0
+
+
+def test_zero1_trainer_fit(tmp_path):
+    """Trainer(zero1_optimizer_sharding=True) trains end-to-end: the fit
+    path re-jits the steps with the pinned output layout; params come out
+    replicated, moments sharded."""
+    from generative_detection_tpu.config import instantiate_from_config, load_yaml
+    from generative_detection_tpu.train.loop import Trainer
+
+    cfg = load_yaml("configs/autoencoder/pose/tiny_cpu.yaml")
+    model = instantiate_from_config(cfg["model"])
+    model.learning_rate = 1e-4
+    data = instantiate_from_config(cfg["data"])
+    data.setup()
+    t = Trainer(
+        model, logdir=str(tmp_path / "run"), max_epochs=1, max_steps=2,
+        limit_val_batches=1, step_counting="batch",
+        zero1_optimizer_sharding=True,
+    )
+    t.fit(data)
+    assert t.global_batch() == 2
+    assert _sharded_leaf_count(t.state.opt_ae_state) > 0
+    assert _sharded_leaf_count(t.state.net_params) == 0
 
 
 def test_zero1_checkpoint_roundtrip(tmp_path):
