@@ -72,6 +72,7 @@ class Trainer:
         limit_test_batches: Optional[int] = None,
         async_checkpointing: bool = False,
         zero1_optimizer_sharding: bool = False,
+        fsdp_parameter_sharding: bool = False,
         callbacks: Optional[List[Callback]] = None,
         logger: Optional[MetricsLogger] = None,
         seed: int = 23,
@@ -115,6 +116,8 @@ class Trainer:
         self.async_checkpointing = async_checkpointing
         # ZeRO-1: shard Adam moments over the data axis (see create_train_state)
         self.zero1_optimizer_sharding = zero1_optimizer_sharding
+        # ZeRO-3 / FSDP: shard params too (implies the ZeRO-1 moment sharding)
+        self.fsdp_parameter_sharding = fsdp_parameter_sharding
         self.callbacks = callbacks or []
         self.logger = logger
         self.seed = seed
@@ -455,11 +458,12 @@ class Trainer:
                 lambda: create_train_state(
                     m, rng, batch_size, self._opt_ae, self._opt_disc,
                     mesh=self.mesh, zero1=self.zero1_optimizer_sharding,
+                    fsdp=self.fsdp_parameter_sharding,
                 )
             )
-            if self.zero1_optimizer_sharding:
+            if self.zero1_optimizer_sharding or self.fsdp_parameter_sharding:
                 # re-jit the steps with the output layout pinned to the
-                # ZeRO-1 state (see _build_fns docstring)
+                # ZeRO-1/FSDP state (see _build_fns docstring)
                 self._build_fns(
                     state_shardings=jax.tree.map(
                         lambda x: x.sharding, self.state
@@ -469,15 +473,17 @@ class Trainer:
             # the constructor loads ckpt_path before Lightning ever resumes);
             # an explicit resume still restores OVER it, matching Lightning.
             if getattr(m, "ckpt_path", None):
-                from jax.sharding import NamedSharding, PartitionSpec
-
                 net_p, loss_p = m.maybe_init_from_ckpt(
                     self.state.net_params, self.state.loss_params
                 )
-                repl = NamedSharding(self.mesh, PartitionSpec())
+                # each leaf returns to its state sharding (replicated, or
+                # the FSDP param layout)
+                put = lambda new, old: jax.device_put(new, old.sharding)
                 self.state = self.state.replace(
-                    net_params=jax.device_put(net_p, repl),
-                    loss_params=jax.device_put(loss_p, repl),
+                    net_params=jax.tree.map(put, net_p, self.state.net_params),
+                    loss_params=jax.tree.map(
+                        put, loss_p, self.state.loss_params
+                    ),
                 )
             if self.resume_from_checkpoint:
                 mgr = CheckpointManager(

@@ -80,6 +80,7 @@ def create_train_state(
     opt_disc: optax.GradientTransformation,
     mesh=None,
     zero1: bool = False,
+    fsdp: bool = False,
 ) -> TrainState:
     """Initialize the full train state under ONE jit.
 
@@ -100,6 +101,15 @@ def create_train_state(
     divides by the mesh size. XLA's sharding propagation turns the update
     into compute-on-shard + all-gather of the param delta — the idiomatic
     GSPMD formulation (annotate shardings, let XLA insert collectives).
+
+    ``fsdp``: ZeRO stage 3 — shard the PARAMETERS too (net, loss — including
+    the frozen perceptual weights, where the memory lives at scale), plus
+    both Adam states as under ``zero1``. ALL per-parameter memory then
+    divides by the mesh size; XLA inserts just-in-time all-gathers at each
+    weight's use site and keeps grads/updates on-shard. Update math is
+    unchanged (same caveat as ZeRO-1: reduction order differs by layout).
+    Callers must pin the step's ``out_shardings`` to this state's layout,
+    exactly as for ``zero1`` (Trainer._build_fns does).
     """
 
     def _init(rng_):
@@ -122,7 +132,7 @@ def create_train_state(
     from jax.sharding import NamedSharding, PartitionSpec
 
     repl = NamedSharding(mesh, PartitionSpec())
-    if not zero1 or mesh.shape.get("data", 1) <= 1:
+    if not (zero1 or fsdp) or mesh.shape.get("data", 1) <= 1:
         return jax.jit(_init, out_shardings=repl)(rng)
 
     n = mesh.shape["data"]
@@ -131,10 +141,11 @@ def create_train_state(
     def opt_ns(x):
         return NamedSharding(mesh, zero1_leaf_spec(x.shape, n))
 
+    param_ns = opt_ns if fsdp else (lambda _: repl)
     shardings = TrainState(
         step=repl,
-        net_params=jax.tree.map(lambda _: repl, abstract.net_params),
-        loss_params=jax.tree.map(lambda _: repl, abstract.loss_params),
+        net_params=jax.tree.map(param_ns, abstract.net_params),
+        loss_params=jax.tree.map(param_ns, abstract.loss_params),
         opt_ae_state=jax.tree.map(opt_ns, abstract.opt_ae_state),
         opt_disc_state=jax.tree.map(opt_ns, abstract.opt_disc_state),
         rng=repl,

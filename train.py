@@ -206,6 +206,22 @@ def main():
 
     logger = MetricsLogger(save_dir=logdir, name="metrics")
 
+    # every other `lightning.trainer` key flows through by name — so config
+    # knobs like async_checkpointing / zero1_optimizer_sharding /
+    # fsdp_parameter_sharding / limit_test_batches reach the Trainer from
+    # YAML without a per-flag line here; Trainer's **_ swallows
+    # Lightning-only keys it does not model (gpus, precision, ...)
+    _explicit = {
+        "max_epochs", "max_steps", "accumulate_grad_batches",
+        "gradient_clip_val", "limit_val_batches", "log_every_n_steps",
+        "check_val_every_n_epoch", "profiler_dir", "disc_forward",
+        "step_counting", "detect_anomaly", "devices",
+        # non-config-driven Trainer args (duplicate-kwarg guard)
+        "logdir", "callbacks", "logger", "seed", "monitor",
+        "resume_from_checkpoint",
+    }
+    passthrough = {k: v for k, v in trainer_cfg.items() if k not in _explicit}
+
     trainer = Trainer(
         model,
         logdir=logdir,
@@ -225,6 +241,7 @@ def main():
         devices=opt.devices,
         disc_forward=trainer_cfg.get("disc_forward", "shared"),
         step_counting=trainer_cfg.get("step_counting", "optimizer"),
+        **passthrough,
     )
 
     # SIGUSR2 -> drop into the debugger on host 0 (ref train.py:482-488)
