@@ -402,9 +402,23 @@ class Trainer:
         prepared_batch = {
             k: self._local_view(v) for k, v in prepared_batch.items()
         }
-        net_params = jax.tree_util.tree_map(
-            self._local_view, self.state.net_params
-        )
+        net_params = self.state.net_params
+        if any(
+            isinstance(l, jax.Array)
+            and any(s is not None for s in getattr(l.sharding, "spec", ()))
+            for l in jax.tree.leaves(net_params)
+        ):
+            # FSDP: params are channel-sharded — multi-host, no local view
+            # can reconstruct them (_local_view would raise on the
+            # non-leading shard index). All-gather to replicated instead:
+            # log_images runs on EVERY rank, so the collective is safe, and
+            # the image fns then always compile on the replicated layout.
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            net_params = jax.device_put(
+                net_params, NamedSharding(self.mesh, PartitionSpec())
+            )
+        net_params = jax.tree_util.tree_map(self._local_view, net_params)
         if getattr(self.model, "step_family", "pose") == "plain":
             m = self.model
             inet = m.inference_net() if hasattr(m, "inference_net") else m.net

@@ -107,8 +107,10 @@ def test_fsdp_state_sharded_and_step_equivalent():
 
 def test_fsdp_trainer_fit(tmp_path):
     """Trainer(fsdp_parameter_sharding=True) trains end-to-end; params and
-    moments come out sharded and validation runs on the sharded state."""
+    moments come out sharded, validation runs on the sharded state, and
+    image logging all-gathers the channel-sharded params first."""
     from generative_detection_tpu.config import instantiate_from_config, load_yaml
+    from generative_detection_tpu.train.callbacks import ImageLogger
     from generative_detection_tpu.train.loop import Trainer
 
     cfg = load_yaml("configs/autoencoder/pose/tiny_cpu.yaml")
@@ -120,6 +122,7 @@ def test_fsdp_trainer_fit(tmp_path):
         model, logdir=str(tmp_path / "run"), max_epochs=1, max_steps=2,
         limit_val_batches=1, step_counting="batch",
         fsdp_parameter_sharding=True,
+        callbacks=[ImageLogger(batch_frequency=1, max_images=2)],
     )
     t.fit(data)
     assert t.global_batch() == 2
