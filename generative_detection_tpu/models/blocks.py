@@ -35,7 +35,31 @@ from ..ops import group_norm, single_head_attention
 from ..ops.fused_conv import fused_eligible, gn_silu_conv
 from ..ops.upsample import reference_upsample_conv, subpixel_upsample_conv
 from ..ops.winograd import winograd_conv3x3
-from ..ops.winograd_pallas import wino_rows_conv3x3, wino_rows_eligible
+from ..ops.winograd_pallas import (
+    gn_silu_wino_conv3x3,
+    gn_silu_wino_eligible,
+    wino_rows_conv3x3,
+    wino_rows_eligible,
+)
+
+
+def _wino_band(shape) -> bool:
+    """The mid-resolution band where the Pallas F(4,3) kernels beat XLA's
+    direct conv in isolated A/Bs (docs/BENCH.md "Winograd conv family"):
+    direct wins at 256² (transform overhead > MAC cut at the bandwidth-heavy
+    edge) and at 16² (tile too small to amortize the transforms)."""
+    return 32 <= min(shape[1], shape[2]) and max(shape[1], shape[2]) <= 128
+
+
+def _fused_wino_ok(shape, cout, dtype) -> bool:
+    """GDT_WINOGRAD=fused: route in-band GN+SiLU->conv pairs through the
+    fused GroupNorm+SiLU+Winograd kernel (keeps the producer fusion the
+    plain Winograd path broke — see ops/winograd_pallas.py)."""
+    return (
+        os.environ.get("GDT_WINOGRAD", "0") == "fused"
+        and _wino_band(shape)
+        and gn_silu_wino_eligible(shape, cout, dtype, 4)
+    )
 
 
 class GroupNormSiLU(nn.Module):
@@ -76,9 +100,21 @@ class Conv3x3(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
         if gn_affine is not None:
             gamma, beta = gn_affine
+            if _fused_wino_ok(x.shape, self.features, self.dtype):
+                return gn_silu_wino_conv3x3(x, gamma, beta, kernel, bias, self.dtype, 4)
             return gn_silu_conv(x, gamma, beta, kernel, bias)
         wino = os.environ.get("GDT_WINOGRAD", "0")
-        if wino in ("pallas", "pallas4"):
+        if wino == "auto":
+            # Shape-gated F(4,3): the on-chip A/B (docs/BENCH.md "Winograd
+            # conv family") shows wino4 beating XLA's direct conv only in the
+            # mid-resolution band — 64²/128² f+b −12..20% — while direct wins
+            # at 256² (transform overhead > MAC cut at the bandwidth-heavy
+            # edge) and 16² (tile too small to amortize). Gate to the band.
+            if _wino_band(x.shape) and wino_rows_eligible(
+                x.shape, self.features, self.dtype, 4
+            ):
+                return wino_rows_conv3x3(x, kernel, bias, self.dtype, 4)
+        elif wino in ("pallas", "pallas4"):
             m_out = 4 if wino == "pallas4" else 2
             if wino_rows_eligible(x.shape, self.features, self.dtype, m_out):
                 return wino_rows_conv3x3(x, kernel, bias, self.dtype, m_out)
@@ -112,17 +148,18 @@ class ResnetBlock(nn.Module):
         norm2 = GroupNormSiLU(name="norm2")
         conv2 = Conv3x3(self.out_channels, dtype=self.dtype, name="conv2")
 
-        fuse1 = self.fuse and fused_eligible(x.shape, self.out_channels, self.dtype)
+        fuse1 = (
+            self.fuse and fused_eligible(x.shape, self.out_channels, self.dtype)
+        ) or _fused_wino_ok(x.shape, self.out_channels, self.dtype)
         if fuse1:
             h = conv1(x, gn_affine=norm1(x, return_params=True))
         else:
             h = conv1(norm1(x))
 
         can_fuse2 = self.dropout == 0.0 or deterministic  # dropout sits between
-        fuse2 = (
-            self.fuse
-            and can_fuse2
-            and fused_eligible(h.shape, self.out_channels, self.dtype)
+        fuse2 = can_fuse2 and (
+            (self.fuse and fused_eligible(h.shape, self.out_channels, self.dtype))
+            or _fused_wino_ok(h.shape, self.out_channels, self.dtype)
         )
         if fuse2:
             h = conv2(h, gn_affine=norm2(h, return_params=True))

@@ -122,7 +122,8 @@ def _pick_tile(h: int, w: int, c: int, co: int, itemsize: int, m_out: int):
 
 
 def _wino_rows_kernel(
-    z_hbm, u_ref, bias_ref, out_ref, zs, sem, *, tr, w, c, co, m_out
+    z_hbm, u_ref, bias_ref, a_ref, b_ref, out_ref, zs, sem, *, tr, w, c, co,
+    m_out, fuse_gn
 ):
     bt, _, at = _MATS[m_out]
     n_pts = m_out + 2
@@ -145,10 +146,6 @@ def _wino_rows_kernel(
         cp.start()
         cp.wait()
 
-    @pl.when(t == 0)
-    def _zt():
-        zs[pl.ds(0, 1)] = jnp.zeros((1, w, c), zs.dtype)
-
     @pl.when(t < n_t - 1)
     def _bot():
         cp = pltpu.make_async_copy(
@@ -156,6 +153,23 @@ def _wino_rows_kernel(
         )
         cp.start()
         cp.wait()
+
+    body.wait()
+
+    if fuse_gn:
+        # GroupNorm+SiLU applied in VMEM right after the DMA: the halo rows
+        # are raw-x rows of the SAME image, so the per-(batch, channel)
+        # affine covers all tr+2(+pad) rows. Border/pad rows are zeroed
+        # AFTER the activation (the affine of a zero row is silu(b) != 0;
+        # never-DMA'd rows hold garbage until this overwrite).
+        a = a_ref[0, 0].astype(jnp.float32)
+        b = b_ref[0, 0].astype(jnp.float32)
+        zf = zs[:].astype(jnp.float32) * a + b
+        zs[:] = (zf * jax.nn.sigmoid(zf)).astype(zs.dtype)
+
+    @pl.when(t == 0)
+    def _zt():
+        zs[pl.ds(0, 1)] = jnp.zeros((1, w, c), zs.dtype)
 
     @pl.when(t == n_t - 1)
     def _zb():
@@ -167,8 +181,6 @@ def _wino_rows_kernel(
     # are sliced away: only phases 0..1 of hi are consumed).
     if m_out > 2:
         zs[pl.ds(tr + 2, m_out - 2)] = jnp.zeros((m_out - 2, w, c), zs.dtype)
-
-    body.wait()
 
     # Row sets r_u = zs rows {m_out t + u | t < tm}, u = 0 .. m_out+1.
     # Output row (m_out t + i) of this tile needs zs rows m_out t .. +m_out+1
@@ -236,12 +248,12 @@ def _wino_rows_kernel(
     out_ref[0] = out.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("tr", "m_out", "interpret"))
-def _wino_rows_pallas(z, u3n, bias, tr, m_out, interpret=False):
+@functools.partial(jax.jit, static_argnames=("tr", "m_out", "fuse_gn", "interpret"))
+def _wino_rows_pallas(z, u3n, bias, a, b, tr, m_out, fuse_gn=False, interpret=False):
     bsz, h, wd, c = z.shape
     co = u3n.shape[-1]
     kernel = functools.partial(
-        _wino_rows_kernel, tr=tr, w=wd, c=c, co=co, m_out=m_out
+        _wino_rows_kernel, tr=tr, w=wd, c=c, co=co, m_out=m_out, fuse_gn=fuse_gn
     )
     return pl.pallas_call(
         kernel,
@@ -251,6 +263,15 @@ def _wino_rows_pallas(z, u3n, bias, tr, m_out, interpret=False):
             pl.BlockSpec(memory_space=pl.ANY),  # z in HBM; manual halo DMA
             pl.BlockSpec(memory_space=pltpu.VMEM),  # U (3*(m_out+2), C, CO)
             pl.BlockSpec((1, co), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
+            # per-(batch, channel) GN affine (fp32); (1, 1) dummies unfused
+            pl.BlockSpec(
+                (1, 1, a.shape[-1]), lambda bi, ti: (bi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, b.shape[-1]), lambda bi, ti: (bi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=pl.BlockSpec(
             (1, tr, wd, co), lambda bi, ti: (bi, ti, 0, 0), memory_space=pltpu.VMEM
@@ -260,18 +281,22 @@ def _wino_rows_pallas(z, u3n, bias, tr, m_out, interpret=False):
             pltpu.SemaphoreType.DMA((3,)),
         ],
         interpret=interpret,
-    )(z, u3n, bias)
+    )(z, u3n, bias, a, b)
 
 
 def _wino_wgrad_kernel(
-    z_hbm, dy_hbm, du_ref, zs, ds, sem, *, tr, w, c, co, m_out
+    z_hbm, dy_hbm, a_ref, b_ref, du_ref, zs, ds, sem, *, tr, w, c, co, m_out,
+    fuse_gn
 ):
     """dU[a, dx] = sum_tiles shift_{dx-1}(V_a(z))^T @ dM_a(dy), accumulated
     across the (sequential) TPU grid into the VMEM-resident output block.
 
     The forward computes out[f] = sum_dx (V_a @ U[a,dx])[f - (dx-1)], so the
     cotangent of U is the masked (dx-1)-shifted V against the AT-transposed
-    dy phases dM_a = sum_i AT[i, a] dy[m_out t + i]."""
+    dy phases dM_a = sum_i AT[i, a] dy[m_out t + i]. With fuse_gn the z
+    input is the RAW pre-norm x and the GroupNorm+SiLU activation is
+    recomputed in VMEM from the per-(batch, channel) affine — the fused
+    forward never materialized z, and this avoids an XLA recompute pass."""
     bt, _, at = _MATS[m_out]
     n_pts = m_out + 2
     bidx = pl.program_id(0)
@@ -295,10 +320,6 @@ def _wino_wgrad_kernel(
         cp.start()
         cp.wait()
 
-    @pl.when(t == 0)
-    def _zt():
-        zs[pl.ds(0, 1)] = jnp.zeros((1, w, c), zs.dtype)
-
     @pl.when(t < n_t - 1)
     def _bot():
         cp = pltpu.make_async_copy(
@@ -307,6 +328,20 @@ def _wino_wgrad_kernel(
         cp.start()
         cp.wait()
 
+    body.wait()
+
+    if fuse_gn:
+        # Same ordering rule as the fused forward: activation first (halo
+        # rows are same-image raw-x rows), borders zeroed after.
+        a = a_ref[0, 0].astype(jnp.float32)
+        b = b_ref[0, 0].astype(jnp.float32)
+        zf = zs[:].astype(jnp.float32) * a + b
+        zs[:] = (zf * jax.nn.sigmoid(zf)).astype(zs.dtype)
+
+    @pl.when(t == 0)
+    def _zt():
+        zs[pl.ds(0, 1)] = jnp.zeros((1, w, c), zs.dtype)
+
     @pl.when(t == n_t - 1)
     def _zb():
         zs[pl.ds(tr + 1, 1)] = jnp.zeros((1, w, c), zs.dtype)
@@ -314,7 +349,6 @@ def _wino_wgrad_kernel(
     if m_out > 2:
         zs[pl.ds(tr + 2, m_out - 2)] = jnp.zeros((m_out - 2, w, c), zs.dtype)
 
-    body.wait()
     dyc.wait()
 
     m = tm * w
@@ -356,10 +390,19 @@ def _wino_wgrad_kernel(
     zero = jnp.zeros((), zs.dtype)
     upd = []
     for a in range(n_pts):
+        # Mosaic only lowers rotates on 32-bit lanes ("Rotate with non-32-bit
+        # data" is unimplemented), so roll in f32 and cast back for the MXU.
+        vf = v[a].astype(jnp.float32)
         shifted = [
-            jnp.where(fcol > 0, pltpu.roll(v[a], shift=1, axis=0), zero),
+            jnp.where(
+                fcol > 0, pltpu.roll(vf, shift=1, axis=0).astype(zs.dtype), zero
+            ),
             v[a],
-            jnp.where(fcol < w - 1, pltpu.roll(v[a], shift=m - 1, axis=0), zero),
+            jnp.where(
+                fcol < w - 1,
+                pltpu.roll(vf, shift=m - 1, axis=0).astype(zs.dtype),
+                zero,
+            ),
         ]
         for dx in range(3):
             upd.append(
@@ -383,13 +426,13 @@ def _wino_wgrad_kernel(
         du_ref[...] += du
 
 
-@functools.partial(jax.jit, static_argnames=("tr", "m_out", "interpret"))
-def _wino_wgrad_pallas(z, dy, tr, m_out, interpret=False):
+@functools.partial(jax.jit, static_argnames=("tr", "m_out", "fuse_gn", "interpret"))
+def _wino_wgrad_pallas(z, dy, a, b, tr, m_out, fuse_gn=False, interpret=False):
     bsz, h, wd, c = z.shape
     co = dy.shape[-1]
     n_pts = m_out + 2
     kernel = functools.partial(
-        _wino_wgrad_kernel, tr=tr, w=wd, c=c, co=co, m_out=m_out
+        _wino_wgrad_kernel, tr=tr, w=wd, c=c, co=co, m_out=m_out, fuse_gn=fuse_gn
     )
     return pl.pallas_call(
         kernel,
@@ -398,6 +441,14 @@ def _wino_wgrad_pallas(z, dy, tr, m_out, interpret=False):
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(
+                (1, 1, a.shape[-1]), lambda bi, ti: (bi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, b.shape[-1]), lambda bi, ti: (bi, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=pl.BlockSpec(
             (3 * n_pts, c, co), lambda bi, ti: (0, 0, 0), memory_space=pltpu.VMEM
@@ -408,7 +459,7 @@ def _wino_wgrad_pallas(z, dy, tr, m_out, interpret=False):
             pltpu.SemaphoreType.DMA((4,)),
         ],
         interpret=interpret,
-    )(z, dy)
+    )(z, dy, a, b)
 
 
 def _wgrad_tile(h, w, c, co, itemsize, m_out):
@@ -426,8 +477,11 @@ def _wgrad_tile(h, w, c, co, itemsize, m_out):
     return None
 
 
-def wino_wgrad(z, dy, dtype, m_out: int = 2):
-    """Winograd weight gradient: dK[ky,kx] = sum_a G[a,ky] dU[a,kx]."""
+def wino_wgrad(z, dy, dtype, m_out: int = 2, gn_ab=None):
+    """Winograd weight gradient: dK[ky,kx] = sum_a G[a,ky] dU[a,kx].
+
+    With ``gn_ab=(a, b)`` (per-(batch, channel) fp32 GN affines), ``z`` is the
+    raw pre-norm input and the kernel recomputes silu(z*a+b) in VMEM."""
     n, h, w, c = z.shape
     co = dy.shape[-1]
     tr = _wgrad_tile(h, w, c, co, jnp.dtype(dtype).itemsize, m_out)
@@ -435,8 +489,14 @@ def wino_wgrad(z, dy, dtype, m_out: int = 2):
         raise ValueError(
             f"no VMEM-provable wgrad tile for {z.shape}x{dy.shape} m_out={m_out}"
         )
+    fuse_gn = gn_ab is not None
+    if fuse_gn:
+        a, b = (v.astype(jnp.float32).reshape(n, 1, c) for v in gn_ab)
+    else:
+        a = b = jnp.zeros((n, 1, 1), jnp.float32)
     du = _wino_wgrad_pallas(
-        z.astype(dtype), dy.astype(dtype), tr, m_out, interpret=_interpret()
+        z.astype(dtype), dy.astype(dtype), a, b, tr, m_out,
+        fuse_gn=fuse_gn, interpret=_interpret(),
     )
     n_pts = m_out + 2
     g = _MATS[m_out][1]
@@ -472,7 +532,7 @@ def wino_rows_eligible(shape, cout, dtype, m_out: int = 2) -> bool:
     return _pick_tile(h, w, c, cout, jnp.dtype(dtype).itemsize, m_out) is not None
 
 
-def _fwd_impl(z, kernel, bias, dtype, m_out):
+def _fwd_impl(z, kernel, bias, dtype, m_out, gn_ab=None):
     n, h, w, c = z.shape
     co = kernel.shape[-1]
     tr = _pick_tile(h, w, c, co, jnp.dtype(dtype).itemsize, m_out)
@@ -484,8 +544,14 @@ def _fwd_impl(z, kernel, bias, dtype, m_out):
     n_pts = m_out + 2
     u = transform_kernel_rows(kernel, m_out).astype(dtype).reshape(3 * n_pts, c, co)
     b = (jnp.zeros((co,), jnp.float32) if bias is None else bias).astype(jnp.float32)
+    fuse_gn = gn_ab is not None
+    if fuse_gn:
+        ga, gb = (v.astype(jnp.float32).reshape(n, 1, c) for v in gn_ab)
+    else:
+        ga = gb = jnp.zeros((n, 1, 1), jnp.float32)
     return _wino_rows_pallas(
-        z.astype(dtype), u, b.reshape(1, co), tr, m_out, interpret=_interpret()
+        z.astype(dtype), u, b.reshape(1, co), ga, gb, tr, m_out,
+        fuse_gn=fuse_gn, interpret=_interpret(),
     )
 
 
@@ -542,3 +608,106 @@ def _wino_bwd(dtype, m_out, res, dy):
 
 
 wino_rows_conv3x3.defvjp(_wino_fwd, _wino_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused GroupNorm+SiLU -> row-Winograd conv.
+#
+# Why: the composed full-step A/B (docs/BENCH.md "Winograd conv family")
+# showed the plain Winograd kernel LOSING despite isolated mid-band wins,
+# because routing the conv through a pallas_call forces the GN+SiLU producer
+# chain (which XLA fuses into the direct conv's prologue) to materialize its
+# output to HBM. This variant keeps that fusion: the group statistics stay
+# one XLA reduction over raw x (free to fuse into the PRODUCING conv's
+# epilogue, exactly as the unfused lowering's stats do), and the normalize +
+# SiLU runs in VMEM inside the Winograd kernel — forward traffic matches the
+# unfused lowering (read x, write out) while the MXU work takes the F(m,3)
+# MAC cut. The backward keeps the cut too: dz via the plain Winograd dgrad,
+# dW via the fused wgrad kernel (recomputes the activation from x in VMEM),
+# and the GN+SiLU pullback of dz in XLA.
+# ---------------------------------------------------------------------------
+
+
+def gn_silu_wino_eligible(shape, cout, dtype, m_out: int = 4, num_groups: int = 32):
+    """Whether ``gn_silu_wino_conv3x3`` can take the fused Pallas path."""
+    return shape[-1] % num_groups == 0 and wino_rows_eligible(
+        shape, cout, dtype, m_out
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def gn_silu_wino_conv3x3(
+    x,
+    gamma,
+    beta,
+    kernel,
+    bias,
+    dtype=jnp.float32,
+    m_out: int = 4,
+    num_groups: int = 32,
+    eps: float = 1e-6,
+):
+    """GroupNorm(num_groups, eps) -> SiLU -> 3x3 SAME conv, with the conv on
+    the row-Winograd Pallas kernel and the normalize fused into its VMEM
+    tiles. Semantics match ``ops.fused_conv.gn_silu_conv_reference``.
+
+    Gate calls on ``gn_silu_wino_eligible``; reference anchor: the backbone
+    ResnetBlock norm+conv pairs (ldm Encoder/Decoder [EXTERNAL], consumed at
+    /root/reference/src/modules/autoencodermodules/feat_encoder.py:1-6).
+    """
+    from .fused_conv import _gn_affine
+
+    a, b = _gn_affine(x, gamma, beta, num_groups, eps)
+    return _fwd_impl(x, kernel, bias, dtype, m_out, gn_ab=(a, b))
+
+
+def _gn_wino_fwd(x, gamma, beta, kernel, bias, dtype, m_out, num_groups, eps):
+    from .fused_conv import _gn_affine
+
+    a, b = _gn_affine(x, gamma, beta, num_groups, eps)
+    out = _fwd_impl(x, kernel, bias, dtype, m_out, gn_ab=(a, b))
+    return out, (x, gamma, beta, kernel, bias is None, a, b)
+
+
+def _gn_wino_bwd(dtype, m_out, num_groups, eps, res, dy):
+    from .fused_conv import _gn_silu_only
+
+    x, gamma, beta, kernel, no_bias, a, b = res
+    # Cotangent wrt the ACTIVATION z: plain Winograd dgrad (rotated,
+    # io-swapped kernel), XLA direct dgrad when the swapped tile misses VMEM.
+    k_rot = kernel[::-1, ::-1].transpose(0, 1, 3, 2)
+    if _pick_tile(
+        dy.shape[1], dy.shape[2], dy.shape[3], k_rot.shape[-1],
+        jnp.dtype(dtype).itemsize, m_out,
+    ) is not None:
+        dz = _fwd_impl(dy, k_rot, None, dtype, m_out).astype(x.dtype)
+    else:
+        dz = _direct(dy, k_rot, dtype).astype(x.dtype)
+    # Weight grad: the fused wgrad kernel reads RAW x and recomputes the
+    # activation in VMEM (no saved z anywhere), else recompute z in XLA.
+    use_kernel = os.environ.get("GDT_WINOGRAD_WGRAD", "pallas") == "pallas" and (
+        _wgrad_tile(
+            x.shape[1], x.shape[2], x.shape[3], dy.shape[-1],
+            jnp.dtype(dtype).itemsize, m_out,
+        )
+        is not None
+    )
+    if use_kernel:
+        dk = wino_wgrad(x, dy, dtype, m_out, gn_ab=(a, b)).astype(kernel.dtype)
+    else:
+        z = _gn_silu_only(x, gamma, beta, num_groups, eps)
+        dk = jax.linear_transpose(lambda kk: _direct(z, kk, dtype), kernel)(
+            dy.astype(dtype)
+        )[0].astype(kernel.dtype)
+    db = None if no_bias else jnp.sum(dy, axis=(0, 1, 2)).astype(jnp.float32)
+    # GN+SiLU pullback of dz -> (dx, dgamma, dbeta); XLA fuses the activation
+    # recompute into this elementwise+reduction pass.
+    _, gn_pull = jax.vjp(
+        lambda x_, g_, b_: _gn_silu_only(x_, g_, b_, num_groups, eps),
+        x, gamma, beta,
+    )
+    dx, dgamma, dbeta = gn_pull(dz)
+    return dx, dgamma, dbeta, dk, db
+
+
+gn_silu_wino_conv3x3.defvjp(_gn_wino_fwd, _gn_wino_bwd)

@@ -197,6 +197,32 @@ def test_conv3x3_pallas_winograd_dispatch(interpret_env, monkeypatch):
     )
 
 
+def test_conv3x3_auto_gate_routes_by_shape(interpret_env, monkeypatch):
+    """GDT_WINOGRAD=auto takes the Pallas F(4,3) path only in the measured
+    winning band (32 <= min(H,W), max(H,W) <= 128 — docs/BENCH.md "Winograd
+    conv family") and XLA direct conv outside it."""
+    from generative_detection_tpu.models import blocks
+
+    calls = []
+
+    def spy(x, k, b, dt, m_out):
+        calls.append((x.shape[1], x.shape[2], m_out))
+        return direct_conv3x3(x, k, b, dtype=dt)
+
+    monkeypatch.setattr(blocks, "wino_rows_conv3x3", spy)
+    monkeypatch.setenv("GDT_WINOGRAD", "auto")
+    rng = np.random.default_rng(4)
+    for h, expect_wino in ((64, True), (128, True), (16, False), (256, False)):
+        x = jnp.asarray(rng.normal(size=(1, h, h, 8)), jnp.float32)
+        mod = blocks.Conv3x3(8)
+        params = mod.init(jax.random.PRNGKey(0), x)
+        calls.clear()
+        mod.apply(params, x)
+        assert bool(calls) == expect_wino, (h, calls)
+        if expect_wino:
+            assert calls == [(h, h, 4)]
+
+
 @pytest.mark.parametrize("m_out", [2, 4])
 def test_wino_wgrad_kernel_matches_direct(interpret_env, m_out):
     from generative_detection_tpu.ops.winograd_pallas import wino_wgrad
@@ -211,3 +237,104 @@ def test_wino_wgrad_kernel_matches_direct(interpret_env, m_out):
     )(k)
     dk = wino_wgrad(z, dy, jnp.float32, m_out)
     np.testing.assert_allclose(np.asarray(dk), np.asarray(dk_ref), rtol=2e-4, atol=2e-4)
+
+
+# ---- Fused GroupNorm+SiLU -> row-Winograd (interpret mode) -----------------
+
+
+@pytest.mark.parametrize("m_out", [2, 4])
+def test_gn_silu_wino_matches_reference(interpret_env, m_out):
+    from generative_detection_tpu.ops.fused_conv import gn_silu_conv_reference
+    from generative_detection_tpu.ops.winograd_pallas import gn_silu_wino_conv3x3
+
+    rng = np.random.default_rng(6)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 8)).astype(np.float32))
+    gamma = jnp.asarray(rng.normal(size=(8,)).astype(np.float32))
+    beta = jnp.asarray(rng.normal(size=(8,)).astype(np.float32) * 0.1)
+    k = jnp.asarray(rng.normal(size=(3, 3, 8, 8)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.normal(size=(8,)).astype(np.float32))
+    ref = gn_silu_conv_reference(x, gamma, beta, k, b, num_groups=4)
+    got = gn_silu_wino_conv3x3(x, gamma, beta, k, b, jnp.float32, m_out, 4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("m_out", [2, 4])
+def test_gn_silu_wino_gradients_match_reference(interpret_env, m_out):
+    """All five input cotangents (x, gamma, beta, kernel, bias) of the fused
+    custom_vjp — wino dgrad for dz, the fused in-kernel wgrad, and the XLA
+    GN+SiLU pullback — match autodiff through the XLA composite."""
+    from generative_detection_tpu.ops.fused_conv import gn_silu_conv_reference
+    from generative_detection_tpu.ops.winograd_pallas import gn_silu_wino_conv3x3
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 8)).astype(np.float32))
+    gamma = jnp.asarray(rng.normal(size=(8,)).astype(np.float32))
+    beta = jnp.asarray(rng.normal(size=(8,)).astype(np.float32) * 0.1)
+    k = jnp.asarray(rng.normal(size=(3, 3, 8, 8)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.normal(size=(8,)).astype(np.float32))
+
+    gref = jax.grad(
+        lambda *a: jnp.sum(gn_silu_conv_reference(*a, num_groups=4) ** 2),
+        (0, 1, 2, 3, 4),
+    )(x, gamma, beta, k, b)
+    gfused = jax.grad(
+        lambda *a: jnp.sum(gn_silu_wino_conv3x3(*a, jnp.float32, m_out, 4) ** 2),
+        (0, 1, 2, 3, 4),
+    )(x, gamma, beta, k, b)
+    for r, f in zip(gref, gfused):
+        np.testing.assert_allclose(np.asarray(f), np.asarray(r), rtol=5e-4, atol=5e-4)
+
+
+def test_gn_silu_wino_wgrad_xla_fallback(interpret_env, monkeypatch):
+    """GDT_WINOGRAD_WGRAD=xla routes dW through the recomputed-activation XLA
+    path; gradients stay correct."""
+    from generative_detection_tpu.ops.fused_conv import gn_silu_conv_reference
+    from generative_detection_tpu.ops.winograd_pallas import gn_silu_wino_conv3x3
+
+    monkeypatch.setenv("GDT_WINOGRAD_WGRAD", "xla")
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 8)).astype(np.float32))
+    gamma = jnp.asarray(rng.normal(size=(8,)).astype(np.float32))
+    beta = jnp.asarray(rng.normal(size=(8,)).astype(np.float32) * 0.1)
+    k = jnp.asarray(rng.normal(size=(3, 3, 8, 8)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.normal(size=(8,)).astype(np.float32))
+    gref = jax.grad(
+        lambda *a: jnp.sum(gn_silu_conv_reference(*a, num_groups=4) ** 2),
+        (0, 1, 2, 3, 4),
+    )(x, gamma, beta, k, b)
+    gfused = jax.grad(
+        lambda *a: jnp.sum(gn_silu_wino_conv3x3(*a, jnp.float32, 4, 4) ** 2),
+        (0, 1, 2, 3, 4),
+    )(x, gamma, beta, k, b)
+    for r, f in zip(gref, gfused):
+        np.testing.assert_allclose(np.asarray(f), np.asarray(r), rtol=5e-4, atol=5e-4)
+
+
+def test_resnet_block_fused_wino_dispatch(interpret_env, monkeypatch):
+    """GDT_WINOGRAD=fused routes in-band ResnetBlock norm+conv pairs through
+    the fused GN+SiLU+Winograd op (out-of-band shapes stay on the unfused
+    XLA composite), and the block output matches the unfused lowering."""
+    from generative_detection_tpu.models import blocks
+
+    calls = []
+    real = blocks.gn_silu_wino_conv3x3
+
+    def spy(x, gamma, beta, k, b, dt, m_out, *a, **kw):
+        calls.append((x.shape[1], x.shape[2], m_out))
+        return real(x, gamma, beta, k, b, dt, m_out, *a, **kw)
+
+    monkeypatch.setattr(blocks, "gn_silu_wino_conv3x3", spy)
+    rng = np.random.default_rng(9)
+    for h, expect_fused in ((64, True), (16, False)):
+        x = jnp.asarray(rng.normal(size=(1, h, h, 32)), jnp.float32)
+        mod = blocks.ResnetBlock(32)
+        params = mod.init(jax.random.PRNGKey(0), x)
+        monkeypatch.delenv("GDT_WINOGRAD", raising=False)
+        y_ref = mod.apply(params, x)
+        monkeypatch.setenv("GDT_WINOGRAD", "fused")
+        calls.clear()
+        y_fused = mod.apply(params, x)
+        assert (len(calls) == 2) == expect_fused, (h, calls)
+        np.testing.assert_allclose(
+            np.asarray(y_fused), np.asarray(y_ref), rtol=5e-4, atol=5e-4
+        )
