@@ -670,13 +670,28 @@ def _gn_wino_fwd(x, gamma, beta, kernel, bias, dtype, m_out, num_groups, eps):
 
 
 def _gn_wino_bwd(dtype, m_out, num_groups, eps, res, dy):
-    from .fused_conv import _gn_silu_only
+    from .fused_conv import _gn_silu_only, gn_silu_conv_reference
 
     x, gamma, beta, kernel, no_bias, a, b = res
+    bwd_mode = os.environ.get("GDT_WINOGRAD_BWD", "kernel")
+    if bwd_mode == "remat":
+        # Full-remat backward: vjp of the unfused XLA composite. Keeps only
+        # the fused forward; lets composed A/Bs isolate fwd vs bwd costs.
+        bias_arg = None if no_bias else jnp.zeros((dy.shape[-1],), jnp.float32)
+        _, pull = jax.vjp(
+            lambda x_, g_, bt_, k_: gn_silu_conv_reference(
+                x_, g_, bt_, k_, bias_arg, num_groups=num_groups, eps=eps
+            ),
+            x, gamma, beta, kernel,
+        )
+        dx, dgamma, dbeta, dk = pull(dy)
+        db = None if no_bias else jnp.sum(dy, axis=(0, 1, 2)).astype(jnp.float32)
+        return dx, dgamma, dbeta, dk, db
     # Cotangent wrt the ACTIVATION z: plain Winograd dgrad (rotated,
-    # io-swapped kernel), XLA direct dgrad when the swapped tile misses VMEM.
+    # io-swapped kernel), XLA direct dgrad when the swapped tile doesn't fit
+    # VMEM or GDT_WINOGRAD_BWD=xladz routes it off the Pallas kernel.
     k_rot = kernel[::-1, ::-1].transpose(0, 1, 3, 2)
-    if _pick_tile(
+    if bwd_mode != "xladz" and _pick_tile(
         dy.shape[1], dy.shape[2], dy.shape[3], k_rot.shape[-1],
         jnp.dtype(dtype).itemsize, m_out,
     ) is not None:

@@ -310,6 +310,33 @@ def test_gn_silu_wino_wgrad_xla_fallback(interpret_env, monkeypatch):
         np.testing.assert_allclose(np.asarray(f), np.asarray(r), rtol=5e-4, atol=5e-4)
 
 
+@pytest.mark.parametrize("mode", ["remat", "xladz"])
+def test_gn_silu_wino_bwd_modes_match_reference(interpret_env, monkeypatch, mode):
+    """GDT_WINOGRAD_BWD=remat (full vjp of the XLA composite) and =xladz
+    (XLA direct dgrad for dz) produce the same five gradients as autodiff
+    through the reference composite."""
+    from generative_detection_tpu.ops.fused_conv import gn_silu_conv_reference
+    from generative_detection_tpu.ops.winograd_pallas import gn_silu_wino_conv3x3
+
+    monkeypatch.setenv("GDT_WINOGRAD_BWD", mode)
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 8)).astype(np.float32))
+    gamma = jnp.asarray(rng.normal(size=(8,)).astype(np.float32))
+    beta = jnp.asarray(rng.normal(size=(8,)).astype(np.float32) * 0.1)
+    k = jnp.asarray(rng.normal(size=(3, 3, 8, 8)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.normal(size=(8,)).astype(np.float32))
+    gref = jax.grad(
+        lambda *a: jnp.sum(gn_silu_conv_reference(*a, num_groups=4) ** 2),
+        (0, 1, 2, 3, 4),
+    )(x, gamma, beta, k, b)
+    gfused = jax.grad(
+        lambda *a: jnp.sum(gn_silu_wino_conv3x3(*a, jnp.float32, 4, 4) ** 2),
+        (0, 1, 2, 3, 4),
+    )(x, gamma, beta, k, b)
+    for r, f in zip(gref, gfused):
+        np.testing.assert_allclose(np.asarray(f), np.asarray(r), rtol=5e-4, atol=5e-4)
+
+
 def test_resnet_block_fused_wino_dispatch(interpret_env, monkeypatch):
     """GDT_WINOGRAD=fused routes in-band ResnetBlock norm+conv pairs through
     the fused GN+SiLU+Winograd op (out-of-band shapes stay on the unfused
