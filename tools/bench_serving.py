@@ -63,7 +63,10 @@ def main():
     ]
     config = merge_configs(base, unknown)
     model = instantiate_from_config(config["model"])
-    size = int(model.ddconfig.get("resolution", 256))
+    # The model's true input size, NOT ddconfig.resolution: the flagship
+    # recipe configures resolution=64 for attention placement while feeding
+    # 256^2 patches (the reference quirk models/blocks.py documents).
+    size = int(getattr(model, "input_size", None) or model.ddconfig.get("resolution", 256))
 
     rng = jax.random.PRNGKey(opt.seed)
     if opt.resume:
