@@ -363,6 +363,13 @@ class DataModuleFromConfig:
         # call would replay epoch-0's order forever.)
         loader = self._loaders.get(split)
         if loader is None:
+            if split not in self.datasets:
+                raise KeyError(
+                    f"datamodule has no {split!r} split (configured: "
+                    f"{sorted(self.datasets)}); add a `{split}:` dataset "
+                    "entry under data.params in the config "
+                    "(Lightning raises MisconfigurationException here)"
+                )
             shard_id, num_shards = self._parallel_context()
             loader = _Loader(
                 self.datasets[split],
