@@ -24,6 +24,7 @@ def test_bench_serving_tiny_input_size_differs_from_resolution(tmp_path):
             sys.executable,
             os.path.join(ROOT, "tools/bench_serving.py"),
             "--tiny",
+            "--recon",
             "--batches",
             "2",
             "--steps",
@@ -44,3 +45,4 @@ def test_bench_serving_tiny_input_size_differs_from_resolution(tmp_path):
     assert out["in_process"][0]["batch"] == 2
     assert out["in_process"][0]["p50_ms"] > 0
     assert out["exported"]["artifact_bytes"] > 0
+    assert out["recon"][0]["patches_per_s"] > 0

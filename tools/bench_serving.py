@@ -41,6 +41,13 @@ def main():
     p.add_argument("--batches", type=int, nargs="+", default=[1, 4, 8, 16, 32])
     p.add_argument("--steps", type=int, default=30)
     p.add_argument("--tiny", action="store_true", help="tiny model on CPU (smoke)")
+    p.add_argument(
+        "--recon",
+        action="store_true",
+        help="also time the FULL reconstruction forward (encode -> pose decode"
+        " -> image decode) — the BASELINE 'patch recon/sec (infer)' metric; the"
+        " detector legs skip the image decoder",
+    )
     p.add_argument("--seed", type=int, default=23)
     opt, unknown = p.parse_known_args()
 
@@ -119,6 +126,39 @@ def main():
             f"  {row['patches_per_s']:8.1f} patches/s"
         )
 
+    recon_results = []
+    if opt.recon:
+        from generative_detection_tpu.utils.runtime import step_compiler_options
+
+        def _recon_impl(params, rgb):
+            rngs = {
+                "sample": jax.random.PRNGKey(0),
+                "dropout": jax.random.PRNGKey(1),
+                "noise": jax.random.PRNGKey(2),
+            }
+            outs = model.net.apply(
+                {"params": params}, rgb, jnp.asarray(0, jnp.int32),
+                phase="full", rngs=rngs,
+            )
+            return outs["dec_obj"]
+
+        recon = jax.jit(_recon_impl, compiler_options=step_compiler_options())
+        for b in opt.batches:
+            rgb = make_args(b)[0]
+            jax.block_until_ready(recon(net_params, rgb))
+            ts = []
+            for _ in range(opt.steps):
+                t0 = time.perf_counter()
+                jax.block_until_ready(recon(net_params, rgb))
+                ts.append(time.perf_counter() - t0)
+            row = {"batch": b, **_percentiles(ts)}
+            row["patches_per_s"] = b / (row["p50_ms"] / 1e3)
+            recon_results.append(row)
+            print(
+                f"recon batch {b:4d}: p50 {row['p50_ms']:8.2f} ms "
+                f" {row['patches_per_s']:8.1f} patches/s"
+            )
+
     # exported-artifact leg (portable StableHLO, weights baked) at the
     # largest batch: the portability tax vs the in-process path
     b = opt.batches[-1]
@@ -144,6 +184,7 @@ def main():
                 "backend": jax.devices()[0].platform,
                 "model_resolution": size,
                 "in_process": results,
+                **({"recon": recon_results} if recon_results else {}),
                 "exported": exported,
             }
         )
