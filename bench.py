@@ -89,8 +89,6 @@ def build(bs: int, dtype: str, phase: str = "full"):
         np.float32
     )
 
-    import jax.numpy as jnp
-
     with mesh:
         state = create_train_state(
             model, jax.random.PRNGKey(0), bs, opt_ae, opt_disc, mesh=mesh

@@ -35,7 +35,6 @@ formulation (tests/test_subpixel_upsample.py).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 

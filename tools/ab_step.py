@@ -46,7 +46,6 @@ def time_step(mesh, state, step_fn, batch, steps: int) -> float:
 def build_variant(bs: int, dtype: str, variant: str, compiler_options=None):
     """bench.build with one knob changed; returns (mesh, state, fn, batch)."""
     import jax
-    import bench
     from generative_detection_tpu.config import load_yaml, instantiate_from_config
     from generative_detection_tpu.parallel import (
         create_mesh,

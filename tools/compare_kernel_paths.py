@@ -6,7 +6,6 @@ is healthy (it oscillates; see docs/BENCH.md) — the Pallas leg retries up to
 """
 
 import sys, os; sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
-import importlib
 import numpy as np
 
 from generative_detection_tpu.utils.runtime import enable_persistent_cache
@@ -23,7 +22,6 @@ def run(pallas):
     from generative_detection_tpu.config import load_yaml, instantiate_from_config
     from generative_detection_tpu.train import create_train_state, make_optimizers, make_train_step
     from generative_detection_tpu.parallel import create_mesh, shard_batch
-    import jax.numpy as jnp
     cfg = load_yaml("configs/autoencoder/pose/autoencoder_kl_16x16x16.yaml")
     cfg["model"]["params"]["lossconfig"]["params"]["dataset_stats_path"] = None
     # 128x128 inputs: same kernel families exercised (flash attention at
