@@ -185,7 +185,9 @@ def main():
         # device_preprocess raw crops) and applies rescale_minmax; sharding
         # the prepared batch over the mesh makes the jit data-parallel.
         with mesh:
-            prepared = shard_batch(model.prepare_batch(batch), mesh)
+            prepared = shard_batch(
+                model.prepare_batch(batch, num_shards=mesh.shape["data"]), mesh
+            )
             rgb = prepared["rgb_gt"]
             dec_obj, dec_pose, kl = infer(net_params, rgb, step)
         rgb = np.asarray(rgb)

@@ -292,18 +292,19 @@ class _WrapperBase:
         prefetch thread used to make."""
         fn = getattr(self, "_prep_jit_fn", None)
         if fn is None:
-            fn = jax.jit(self.prepare_batch_device, static_argnums=(1,))
+            fn = jax.jit(self.prepare_batch_device, static_argnums=(1, 2))
             self._prep_jit_fn = fn
         return fn
 
-    def prepare_batch(self, batch) -> Dict[str, jnp.ndarray]:
+    def prepare_batch(self, batch, num_shards: int = 1) -> Dict[str, jnp.ndarray]:
         """Map a host batch dict into loss-ready device arrays: the pure-numpy
         host half (``prepare_batch_host``) + ONE jitted device dispatch
         (``prepare_batch_device``; ref get_input/_rescale,
         autoencoder.py:296-305,434-436). Shared by both model families —
-        each defines only the two halves."""
+        each defines only the two halves. ``num_shards`` is the data-axis
+        size for per-shard normalization (see ``rescale_minmax``)."""
         host, meta = self.prepare_batch_host(batch)
-        return self._prepare_jit()(host, meta)
+        return self._prepare_jit()(host, meta, num_shards)
 
     def maybe_init_from_ckpt(self, net_params, loss_params):
         """Apply the config-driven torch-checkpoint overlay when
@@ -566,11 +567,12 @@ class PoseAutoencoder(_WrapperBase):
         out["mask"] = mask
         return out, ("float",)
 
-    def prepare_batch_device(self, host, meta) -> Dict[str, jnp.ndarray]:
-        """Device half (jittable; ``meta`` is static): rescale_minmax + (for
-        raw crops) resize/normalize/mask — the BASELINE "jit preprocessing"
-        stage. Under a sharded jit the batch min/max reductions are global
-        (XLA inserts the collectives)."""
+    def prepare_batch_device(self, host, meta, num_shards: int = 1) -> Dict[str, jnp.ndarray]:
+        """Device half (jittable; ``meta`` and ``num_shards`` are static):
+        rescale_minmax + (for raw crops) resize/normalize/mask — the BASELINE
+        "jit preprocessing" stage. ``num_shards`` (the data-axis size under a
+        sharded jit) makes rescale_minmax normalize per shard, matching the
+        reference's per-DDP-rank normalization (ref autoencoder.py:434)."""
         host = dict(host)
         if meta[0] == "raw":
             from ..ops import batched_crop_resize, bbox_mask
@@ -586,12 +588,28 @@ class PoseAutoencoder(_WrapperBase):
             rgb = host.pop("rgb")
             mask = host.pop("mask")
         out = {k: jnp.asarray(v) for k, v in host.items()}
-        out["rgb_gt"] = rescale_minmax(rgb)
+        out["rgb_gt"] = rescale_minmax(rgb, num_shards=num_shards)
         out["mask_2d_bbox"] = mask
         return out
 
-def rescale_minmax(x: jnp.ndarray) -> jnp.ndarray:
-    """2*(x - min)/(max - min) - 1 over the whole batch (ref :434-436)."""
+def rescale_minmax(x: jnp.ndarray, num_shards: int = 1) -> jnp.ndarray:
+    """2*(x - min)/(max - min) - 1 (ref autoencoder.py:434-436).
+
+    The reference runs under DDP, so each rank normalizes over ITS OWN local
+    batch. ``num_shards`` reproduces that under a single sharded jit: the
+    batch normalizes in ``num_shards`` contiguous groups of ``B/num_shards``
+    samples — exactly the per-rank result when the batch is contiguously
+    sharded over the data mesh axis (and it keeps the min/max reductions
+    shard-local, no collective). ``num_shards=1`` is the single-device case.
+    """
+    b = x.shape[0]
+    if num_shards > 1 and b % num_shards == 0:
+        g = x.reshape(num_shards, b // num_shards, *x.shape[1:])
+        axes = tuple(range(1, g.ndim))
+        lo = jnp.min(g, axis=axes, keepdims=True)
+        hi = jnp.max(g, axis=axes, keepdims=True)
+        out = 2.0 * (g - lo) / jnp.maximum(hi - lo, 1e-12) - 1.0
+        return out.reshape(x.shape)
     lo, hi = jnp.min(x), jnp.max(x)
     return 2.0 * (x - lo) / jnp.maximum(hi - lo, 1e-12) - 1.0
 
@@ -669,7 +687,7 @@ class Autoencoder(_WrapperBase):
             img = np.transpose(img, (0, 2, 3, 1))
         return {"image": img}, ("plain",)
 
-    def prepare_batch_device(self, host, meta) -> Dict[str, jnp.ndarray]:
+    def prepare_batch_device(self, host, meta, num_shards: int = 1) -> Dict[str, jnp.ndarray]:
         return {"image": jnp.asarray(host["image"])}
 
     def init_variables(self, rng: jax.Array, batch_size: int = 1):

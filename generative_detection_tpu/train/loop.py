@@ -41,9 +41,10 @@ def _device_prefetch(iterator, model, mesh, depth: int = 2):
 
     buf = collections.deque()
     prep_jit = model._prepare_jit()
+    n_shards = mesh.shape["data"]
     for batch in iterator:
         host, meta = model.prepare_batch_host(batch)
-        buf.append(prep_jit(shard_batch(host, mesh), meta))
+        buf.append(prep_jit(shard_batch(host, mesh), meta, n_shards))
         if len(buf) >= depth:
             yield buf.popleft()
     while buf:
@@ -151,6 +152,7 @@ class Trainer:
         self.val_batch_idx = 0
         self._last_trainstep_saved = 0  # opt step 0 is never checkpointed
         self._tree_add = None
+        self._tree_scale = None
         self.state: Optional[TrainState] = None
         self.interrupted = False
         self._train_fns: Dict[str, Any] = {}
@@ -598,30 +600,47 @@ class Trainer:
         # The accumulate itself is ONE jitted tree-add per batch — eager
         # per-metric adds cost ~27 dispatches/batch (~0.7 ms each tunneled).
         agg: Optional[Dict[str, Any]] = None
-        n_batches = 0
+        n_samples = 0
         self.val_batch_idx = 0
         eval_rng = jax.random.PRNGKey(self.seed + 1)
         if self._tree_add is None:  # one jitted fn for the whole run: a
             # fresh lambda per validate() would discard the trace cache and
-            # retrace/recompile the add every epoch
+            # retrace/recompile the add every epoch. Weighted by batch size
+            # so a short final batch (drop_last=False) contributes per-sample,
+            # not per-batch (per-batch metrics are means over the batch).
             self._tree_add = jax.jit(
-                lambda a, b: jax.tree_util.tree_map(jnp.add, a, b)
+                lambda a, b, w: jax.tree_util.tree_map(
+                    lambda x, y: x + w * y, a, b
+                )
+            )
+            self._tree_scale = jax.jit(
+                lambda b, w: jax.tree_util.tree_map(lambda y: w * y, b)
             )
         tree_add = self._tree_add
         for i, batch in enumerate(loader()):
             if limit is not None and i >= limit:
                 break
             host, meta = m.prepare_batch_host(batch)
-            prepared = m._prepare_jit()(shard_batch(host, self.mesh), meta)
+            bsz = next(
+                int(v.shape[0]) for v in host.values()
+                if getattr(v, "ndim", 0) >= 1
+            )
+            prepared = m._prepare_jit()(
+                shard_batch(host, self.mesh), meta, self.mesh.shape["data"]
+            )
             metrics = eval_fn(self.state, prepared, jax.random.fold_in(eval_rng, i))
-            agg = dict(metrics) if agg is None else tree_add(agg, dict(metrics))
-            n_batches += 1
+            agg = (
+                self._tree_scale(dict(metrics), float(bsz))
+                if agg is None
+                else tree_add(agg, dict(metrics), float(bsz))
+            )
+            n_samples += bsz
             for cb in self.callbacks:
                 cb.on_validation_batch_end(self, metrics, prepared)
             self.val_batch_idx += 1
         means = {
-            k: float(np.asarray(v)) / n_batches for k, v in agg.items()
-        } if n_batches else {}
+            k: float(np.asarray(v)) / n_samples for k, v in agg.items()
+        } if n_samples else {}
         if self.logger and self.is_main_process and means:
             self.logger.log_metrics(means, self.global_batch())
         # best-checkpoint selection reads the VAL monitor only: a test pass
@@ -736,7 +755,9 @@ class Trainer:
                 if limit_batches is not None and i >= limit_batches:
                     break
                 host, meta = m.prepare_batch_host(batch)
-                prepared = m._prepare_jit()(shard_batch(host, self.mesh), meta)
+                prepared = m._prepare_jit()(
+                    shard_batch(host, self.mesh), meta, self.mesh.shape["data"]
+                )
                 res = self._pallas_fallback(
                     lambda: fn(net_params, prepared, step, jax.random.fold_in(key, i))
                 )

@@ -193,6 +193,14 @@ def make_train_step(
                     net_params, outs["pre_out"], (gy_nll, gy_g)
                 )
                 d_weight = _adaptive_d_weight(g_nll_w, g_g_w, disc_weight_cfg)
+                # Gate EXACTLY as the reference pose loss does (ref
+                # contperceptual.py:294-301): d_weight activates at
+                # global_step > encoder_pretrain_steps — NOT at disc_start;
+                # only disc_factor (adopt_weight inside generator_loss) keys
+                # on disc_start. With the shipped recipe (pretrain 30000,
+                # disc_start 30001) the logged train/d_weight is therefore
+                # nonzero at step 30001 while disc_factor is still 0, same
+                # as the reference. Pinned by test_d_weight_gate_parity.
                 active = jnp.logical_and(disc_factor_cfg > 0.0, step_g > pretrain)
                 d_weight = jax.lax.stop_gradient(jnp.where(active, d_weight, 0.0))
                 # nll_terms is unweighted BY CONSTRUCTION (it takes no
@@ -351,7 +359,12 @@ def make_plain_train_step(
                 net_params, outs["pre_out"], (gy_nll, gy_g)
             )
             d_weight = _adaptive_d_weight(g_nll_w, g_g_w, disc_weight_cfg)
-            active = jnp.logical_and(disc_factor_cfg > 0.0, step_g >= loss.disc_start)
+            # ldm's LPIPSWithDiscriminator computes the adaptive weight with
+            # NO step gate (only `disc_factor > 0`); the total is still
+            # correct before disc_start because generator_loss multiplies by
+            # adopt_weight(disc_factor, step, disc_start) == 0. Matching that
+            # keeps the logged train/d_weight identical to ldm's from step 0.
+            active = disc_factor_cfg > 0.0
             d_weight = jax.lax.stop_gradient(jnp.where(active, d_weight, 0.0))
             total, log = loss.apply(
                 {"params": loss_params},

@@ -105,3 +105,15 @@ def test_plain_autoencoder_trainer_fit_cli_config(tmp_path):
     img_root = os.path.join(logdir, "images", "train")
     assert os.path.isdir(img_root) and len(os.listdir(img_root)) > 0
     logger.close()
+
+
+def test_plain_d_weight_ldm_gate(setup, rng):
+    """ldm's LPIPSWithDiscriminator computes the adaptive weight with NO step
+    gate — only `disc_factor > 0` — so the logged train/d_weight is nonzero
+    from step 0 while adopt_weight keeps disc_factor (and hence the GAN term
+    in the total) at 0 until disc_start."""
+    m, state, fn = setup
+    batch = {"image": jnp.asarray(rng.normal(size=(2, 32, 32, 3)).astype(np.float32))}
+    _, m0 = fn(state, batch)  # step 0 < disc_start 2
+    assert float(m0["train/d_weight"]) > 0.0
+    assert float(m0["train/disc_factor"]) == 0.0

@@ -275,3 +275,54 @@ def test_surrogate_dedupe_matches_naive_gradient(rng):
             np.asarray(a), np.asarray(b),
             rtol=2e-4, atol=1e-4 * global_scale,
         )
+
+
+def test_d_weight_gate_parity(rng):
+    """Pin the POSE d_weight gate to the reference's exact semantics (ref
+    contperceptual.py:294-304): the adaptive weight activates at
+    global_step > encoder_pretrain_steps — NOT at disc_start — while
+    disc_factor (adopt_weight) activates at disc_start. With pretrain=10 and
+    disc_start=20 there is a window (e.g. step 15) where the logged d_weight
+    is nonzero but disc_factor is still 0, exactly as the reference logs it
+    (round-4 verdict weak #5)."""
+    import copy
+
+    from tests.test_models import SMALL_DD, SMALL_LOSSCONFIG
+    from generative_detection_tpu.models.autoencoder import PoseAutoencoder
+
+    losscfg = copy.deepcopy(SMALL_LOSSCONFIG)
+    losscfg["params"]["encoder_pretrain_steps"] = 10
+    losscfg["params"]["disc_start"] = 20
+    m = PoseAutoencoder(
+        ddconfig=SMALL_DD,
+        lossconfig=losscfg,
+        embed_dim=16,
+        euler_convention="XYZ",
+        dropout_prob_init=1.0,
+        dropout_prob_final=0.7,
+        dropout_warmup_steps=10,
+        pose_conditioned_generation_steps=10,
+        add_noise_to_z_obj=True,
+        train_on_yaw=True,
+        input_size=32,
+    )
+    m.learning_rate = 1e-4
+    opt_ae, opt_disc = make_optimizers(m.learning_rate, grad_clip=1.0)
+    state = create_train_state(m, jax.random.PRNGKey(0), 2, opt_ae, opt_disc)
+    fn = jax.jit(make_train_step(m, opt_ae, opt_disc, step_counting="batch"))
+    batch = _batch(m, rng)
+
+    # pretrain < step < disc_start: d_weight active, disc_factor still 0
+    _, mid = fn(state.replace(step=jnp.asarray(15, jnp.int32)), batch)
+    assert float(mid["train/d_weight"]) > 0.0
+    assert float(mid["train/disc_factor"]) == 0.0
+
+    # step <= pretrain: both zero
+    _, pre = fn(state.replace(step=jnp.asarray(5, jnp.int32)), batch)
+    assert float(pre["train/d_weight"]) == 0.0
+    assert float(pre["train/disc_factor"]) == 0.0
+
+    # step >= disc_start: both active
+    _, post = fn(state.replace(step=jnp.asarray(25, jnp.int32)), batch)
+    assert float(post["train/d_weight"]) > 0.0
+    assert float(post["train/disc_factor"]) == 1.0
