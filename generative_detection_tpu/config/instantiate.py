@@ -69,11 +69,12 @@ TARGET_ALIASES: dict[str, str] = {
     "pytorch_lightning.loggers.TensorBoardLogger":
         "generative_detection_tpu.train.metrics.MetricsLogger",
     # the reference's logger choice (ref train.py:190-213) also offers wandb
-    # and the legacy "testtube" logger; both alias onto the JSONL+TB logger —
-    # wandb itself is not packaged offline (point WANDB-style dashboards at
-    # the JSONL/TensorBoard output instead)
+    # and the legacy "testtube" logger. WandbLogger uses the real wandb
+    # package when importable and falls back to the wandb run-directory
+    # layout (wandb-history.jsonl) otherwise; testtube aliases onto the
+    # JSONL+TB logger.
     "pytorch_lightning.loggers.WandbLogger":
-        "generative_detection_tpu.train.metrics.MetricsLogger",
+        "generative_detection_tpu.train.metrics.WandbLogger",
     "pytorch_lightning.loggers.TestTubeLogger":
         "generative_detection_tpu.train.metrics.MetricsLogger",
 }

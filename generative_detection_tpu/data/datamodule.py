@@ -172,6 +172,70 @@ class _Loader:
         self.num_shards = max(num_shards, 1)
         self._epoch = 0
 
+    def _is_iterable(self) -> bool:
+        """Iterable-style dataset: has ``__iter__`` but no ``__getitem__`` —
+        the protocol torch uses for ``IterableDataset`` and the reference's
+        ``Txt2ImgIterableBaseDataset`` branch (ref data_modules.py:9,100-104).
+        """
+        return hasattr(self.dataset, "__iter__") and not hasattr(
+            self.dataset, "__getitem__"
+        )
+
+    def _iterable_epoch(self) -> Iterator[Dict[str, Any]]:
+        """One epoch over an iterable dataset. Shuffle is ignored (the
+        reference forces ``shuffle=False`` for iterable datasets, ref
+        data_modules.py:102) and multi-host sharding strides the item stream
+        so each process consumes a disjoint subset — the same
+        every-record-once coverage the reference's worker_init_fn achieves by
+        splitting ``sample_ids`` across workers (ref data_modules.py:19-24).
+        Batches are assembled on a producer thread behind the same bounded
+        prefetch queue as the map-style path."""
+        def item_stream():
+            it = iter(self.dataset)
+            if self.num_shards > 1:
+                it = itertools.islice(it, self.shard_id, None, self.num_shards)
+            return it
+
+        def batch_stream():
+            buf = []
+            for item in item_stream():
+                buf.append(item)
+                if len(buf) == self.batch_size:
+                    yield collate(buf)
+                    buf = []
+            if buf and not self.drop_last:
+                yield collate(buf)
+
+        self._epoch += 1
+        if self.num_workers <= 0:
+            yield from batch_stream()
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                for batch in batch_stream():
+                    if stop.is_set():
+                        return
+                    q.put(batch)
+                q.put(None)
+            except BaseException as e:  # noqa: BLE001 — surface in consumer
+                q.put(e)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    break
+                if isinstance(batch, BaseException):
+                    raise batch
+                yield batch
+        finally:
+            stop.set()
+
     def _padded_total(self) -> int:
         """Global order length after padding to a multiple of num_shards.
 
@@ -190,12 +254,20 @@ class _Loader:
         return self._padded_total() // self.num_shards
 
     def __len__(self):
+        if self._is_iterable():
+            raise TypeError(
+                "iterable dataset has no length (torch IterableDataset "
+                "semantics)"
+            )
         n = self._local_len() // self.batch_size
         if not self.drop_last and self._local_len() % self.batch_size:
             n += 1
         return n
 
     def __call__(self) -> Iterator[Dict[str, Any]]:
+        if self._is_iterable():
+            yield from self._iterable_epoch()
+            return
         order = np.arange(len(self.dataset))
         if self.shuffle:
             np.random.default_rng((self.seed, self._epoch)).shuffle(order)

@@ -64,3 +64,103 @@ class MetricsLogger:
         self._file.close()
         if self._tb is not None:
             self._tb.close()
+
+
+class WandbLogger(MetricsLogger):
+    """wandb backend behind the reference's logger surface (ref
+    train.py:190-201: ``pytorch_lightning.loggers.WandbLogger`` with
+    ``name``/``offline`` params).
+
+    Uses the real ``wandb`` package when importable (``offline=True`` maps to
+    ``mode="offline"`` exactly like Lightning's WandbLogger). When wandb is
+    not installed (this image does not bundle it), falls back to writing the
+    documented wandb run-directory layout — ``wandb/run-<name>/files/
+    wandb-history.jsonl`` (one JSON row per log call, ``_step``/``_timestamp``
+    keys) + ``config.yaml`` — so dashboards and ``wandb sync``-style tooling
+    can ingest the run later. The JSONL+TensorBoard base logging is kept in
+    both cases: metrics are never lost to a missing backend."""
+
+    def __init__(
+        self,
+        save_dir: str = "logs",
+        name: str = "run",
+        offline: bool = False,
+        project: str = "generative-detection",
+        config: Dict[str, Any] | None = None,
+        **kw: Any,
+    ):
+        super().__init__(save_dir=save_dir, name="metrics", **kw)
+        self._wandb_run = None
+        self._history = None
+        try:
+            import wandb  # type: ignore
+
+            self._wandb_run = wandb.init(
+                project=project,
+                name=name,
+                dir=save_dir,
+                mode="offline" if offline else "online",
+                config=config or {},
+            )
+        except Exception:  # noqa: BLE001 — wandb absent or init failed
+            run_dir = os.path.join(save_dir, "wandb", f"run-{name}", "files")
+            os.makedirs(run_dir, exist_ok=True)
+            self._history = open(
+                os.path.join(run_dir, "wandb-history.jsonl"), "a", buffering=1
+            )
+            if config:
+                try:
+                    import yaml
+
+                    with open(os.path.join(run_dir, "config.yaml"), "w") as f:
+                        yaml.safe_dump(config, f)
+                except Exception:  # noqa: BLE001
+                    pass
+            logging.info("wandb not installed; writing run files to %s", run_dir)
+
+    def log_metrics(self, metrics: Dict[str, Any], step: int) -> None:
+        super().log_metrics(metrics, step)
+        row = {k: _to_float(v) for k, v in metrics.items()}
+        if self._wandb_run is not None:
+            self._wandb_run.log(row, step=int(step))
+        elif self._history is not None:
+            row["_step"] = int(step)
+            row["_timestamp"] = time.time()
+            self._history.write(json.dumps(row) + "\n")
+
+    def close(self) -> None:
+        if self._wandb_run is not None:
+            self._wandb_run.finish()
+        if self._history is not None:
+            self._history.close()
+        super().close()
+
+
+def make_logger(lightning_config, logdir: str, nowname: str = "run"):
+    """Config-selected logger (ref train.py get_logger_cfgs:190-213).
+
+    Defaults to the "testtube" choice (TensorBoard-style ``MetricsLogger``)
+    and deep-merges ``lightning.logger`` over it, so a config carrying the
+    reference's ``pytorch_lightning.loggers.WandbLogger`` target (or our
+    native dotted paths) selects the backend unchanged."""
+    from ..config import instantiate_from_config
+    from ..config.merge import deep_merge
+
+    default_cfg = {
+        "target": "generative_detection_tpu.train.metrics.MetricsLogger",
+        "params": {},
+    }
+    user_cfg = {}
+    if lightning_config:
+        user_cfg = dict(lightning_config.get("logger", {}) or {})
+    cfg = deep_merge(default_cfg, user_cfg)
+    cfg.setdefault("params", {})
+    cfg["params"].setdefault("save_dir", logdir)
+    # `name` means different things per backend — the wandb RUN name (the
+    # reference threads nowname there, train.py:194) vs the JSONL filename —
+    # so default it per resolved target, never cross-pollute
+    if "WandbLogger" in str(cfg.get("target", "")):
+        cfg["params"].setdefault("name", nowname)
+    else:
+        cfg["params"].setdefault("name", "metrics")
+    return instantiate_from_config(cfg)

@@ -181,7 +181,7 @@ def main():
         SetupCallback,
     )
     from generative_detection_tpu.train.loop import Trainer
-    from generative_detection_tpu.train.metrics import MetricsLogger
+    from generative_detection_tpu.train.metrics import make_logger
 
     callbacks = [
         SetupCallback(
@@ -204,7 +204,9 @@ def main():
     if not any(isinstance(c, ImageLogger) for c in callbacks):
         callbacks.append(ImageLogger(batch_frequency=750, max_images=4))
 
-    logger = MetricsLogger(save_dir=logdir, name="metrics")
+    # config-selected backend (ref train.py:190-213): default testtube/TB,
+    # `lightning.logger.target` picks wandb or any custom logger
+    logger = make_logger(lightning_config, logdir, nowname=now)
 
     # every other `lightning.trainer` key flows through by name — so config
     # knobs like async_checkpointing / zero1_optimizer_sharding /
