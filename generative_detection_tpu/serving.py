@@ -17,12 +17,29 @@ Usage:
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
 from .eval.inference import recover_boxes
+
+
+def _resolve_serve_dtype(dtype):
+    """Serving compute dtype. ``"auto"`` (the default) resolves via
+    ``GDT_SERVE_DTYPE`` and defaults to **bfloat16** — the measured-best
+    composition of the round-5 serving sweep on TPU v5e
+    (``tools/bench_serving.py --sweep``, docs/BENCH.md "Inference
+    composition sweep": bf16 beat fp32 on BOTH legs — detector 492 vs 459
+    p/s, full reconstruction 245 vs 217 p/s — while the opt-in kernel
+    combos lost composed). ``None``/``"float32"`` keeps the net untouched
+    (fp32); any dtype/str selects that dtype."""
+    if dtype == "auto":
+        dtype = os.environ.get("GDT_SERVE_DTYPE", "bfloat16")
+    if dtype is None or dtype == "float32":
+        return None
+    return jnp.dtype(dtype).type if isinstance(dtype, str) else dtype
 
 
 def make_detector_fn(
@@ -32,19 +49,26 @@ def make_detector_fn(
     hmax_table,
     patch_out: int = 256,
     params_as_arg: bool = False,
+    dtype="auto",
 ):
     """Close the model into a pure patches->boxes function. Weights are
     captured as constants by design here (the artifact must be
     self-contained); for in-process use pass ``params_as_arg=True`` — the
     returned function then takes ``(net_params, rgb, ...)`` so the weights
     stay jit arguments (baked constants inflate the compile payload,
-    eval.py's lesson on remote-compile backends)."""
+    eval.py's lesson on remote-compile backends).
 
-    # forward-only net: fused gn+conv Pallas kernels, identical params.
+    ``dtype`` sets the net's compute dtype (params stay fp32 — flax casts
+    at use sites). The default ``"auto"`` is bfloat16, the measured serving
+    winner (see ``_resolve_serve_dtype``); pass ``None``/``"float32"`` (or
+    set ``GDT_SERVE_DTYPE=float32``) for the conservative fp32 path."""
+
+    # forward-only net: identical params, serving compute dtype.
     # NOTE: the serving artifact is exported as portable StableHLO, so keep
     # the XLA lowering there (Pallas custom calls are backend-pinned) unless
     # serving on the same TPU generation.
-    net = model.net
+    dtype = _resolve_serve_dtype(dtype)
+    net = model.net if dtype is None else model.net.clone(dtype=dtype)
 
     def _detect(params, rgb, focal, principal_point, patch_size, patch_center, resampling):
         posterior, pose_feat = net.apply(
@@ -89,6 +113,7 @@ def export_detector(
     batch: Optional[int] = 8,
     input_size: Optional[int] = None,
     platforms=None,
+    dtype="auto",
 ) -> bytes:
     """Serialize the detector to a StableHLO blob.
 
@@ -96,10 +121,16 @@ def export_detector(
     (``jax.export`` symbolic dimension): one blob serves any batch size —
     including per-device shards of a data-parallel serving mesh (see
     ``shard_detector``) — instead of one export per deployment shape.
+
+    dtype: compute dtype baked into the artifact; the default ``"auto"``
+    (bfloat16, the measured serving winner) stays portable — it lowers to
+    plain StableHLO ops, no backend-pinned custom calls. Pass
+    ``"float32"`` for a full-precision artifact.
     """
     size = input_size or getattr(model, "input_size", 256)
     detect = make_detector_fn(
-        model, net_params, jnp.asarray(hmin_table), jnp.asarray(hmax_table), size
+        model, net_params, jnp.asarray(hmin_table), jnp.asarray(hmax_table),
+        size, dtype=dtype,
     )
     if batch is None:
         (b,) = jax.export.symbolic_shape("b")

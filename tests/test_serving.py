@@ -42,8 +42,52 @@ def test_export_roundtrip(rng):
         jnp.broadcast_to(jnp.asarray([820.0, 460.0]), (2, 2)),
         jnp.full((2,), 2.56),
     )
-    # separate compilations of the same graph; allow tiny reassociation drift
-    np.testing.assert_allclose(np.asarray(boxes), np.asarray(b2), rtol=1e-3, atol=1e-4)
+    # separate compilations of the same graph; default serving dtype is
+    # bfloat16 (the measured winner), so reassociation drift sits at bf16
+    # rounding, not fp32
+    np.testing.assert_allclose(np.asarray(boxes), np.asarray(b2), rtol=3e-2, atol=5e-2)
+
+    # the conservative fp32 opt-out keeps the old tight agreement
+    blob32 = export_detector(m, net_params, hmin, hmax, batch=2, dtype="float32")
+    b32 = np.asarray(load_detector(blob32)(x, *[np.asarray(a) for a in (
+        np.full((2,), 1266.0, np.float32),
+        np.broadcast_to(np.asarray([800.0, 450.0], np.float32), (2, 2)),
+        np.full((2,), 100.0, np.float32),
+        np.broadcast_to(np.asarray([820.0, 460.0], np.float32), (2, 2)),
+        np.full((2,), 2.56, np.float32),
+    )])[0])
+    live32 = make_detector_fn(
+        m, net_params, jnp.asarray(hmin), jnp.asarray(hmax), 32, dtype="float32"
+    )
+    b2_32, _, _ = live32(
+        jnp.asarray(x),
+        jnp.full((2,), 1266.0),
+        jnp.broadcast_to(jnp.asarray([800.0, 450.0]), (2, 2)),
+        jnp.full((2,), 100.0),
+        jnp.broadcast_to(jnp.asarray([820.0, 460.0]), (2, 2)),
+        jnp.full((2,), 2.56),
+    )
+    np.testing.assert_allclose(b32, np.asarray(b2_32), rtol=1e-3, atol=1e-4)
+    # and the fp32 artifact agrees with the bf16 default to bf16 precision
+    np.testing.assert_allclose(np.asarray(boxes), b32, rtol=5e-2, atol=1e-1)
+
+
+def test_serve_dtype_resolution(monkeypatch):
+    """"auto" -> bfloat16 (the measured winner), GDT_SERVE_DTYPE overrides,
+    None/"float32" keep fp32."""
+    import jax.numpy as jnp
+
+    from generative_detection_tpu.serving import _resolve_serve_dtype
+
+    monkeypatch.delenv("GDT_SERVE_DTYPE", raising=False)
+    assert _resolve_serve_dtype("auto") == jnp.bfloat16
+    assert _resolve_serve_dtype(None) is None
+    assert _resolve_serve_dtype("float32") is None
+    assert _resolve_serve_dtype(jnp.float16) == jnp.float16
+    monkeypatch.setenv("GDT_SERVE_DTYPE", "float32")
+    assert _resolve_serve_dtype("auto") is None
+    monkeypatch.setenv("GDT_SERVE_DTYPE", "bfloat16")
+    assert _resolve_serve_dtype("auto") == jnp.bfloat16
 
 
 def _detector_args(rng, b):

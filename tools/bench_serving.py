@@ -34,6 +34,114 @@ def _percentiles(ts):
     }
 
 
+def _run_sweep(opt, model, net_params, hmin, hmax, size, make_args):
+    """Compose-measure the forward-only kernel winners (docs/BENCH.md round
+    4: subpixel upsample −21…−43% isolated, fused GN+SiLU+Winograd fwd up to
+    −21% isolated, bf16) in the two deployment legs — detector (no image
+    decoder) and full reconstruction — at the largest requested batch.
+
+    The knobs are trace-time env vars, so each combo gets a FRESH jit; the
+    env is restored after every leg. One table + one JSON line."""
+    import jax
+    import jax.numpy as jnp
+
+    from generative_detection_tpu.serving import make_detector_fn
+    from generative_detection_tpu.utils.runtime import step_compiler_options
+
+    b = opt.batches[-1]
+    args = make_args(b)
+    knob_names = ("GDT_SUBPIXEL_UP", "GDT_WINOGRAD")
+    combos = [
+        ("fp32-xla", None, {}),  # the round-4 recorded baseline path
+        ("bf16", jnp.bfloat16, {}),
+        ("bf16+subpix", jnp.bfloat16, {"GDT_SUBPIXEL_UP": "1"}),
+        ("bf16+fusedwino", jnp.bfloat16, {"GDT_WINOGRAD": "fused"}),
+        (
+            "bf16+subpix+fusedwino",
+            jnp.bfloat16,
+            {"GDT_SUBPIXEL_UP": "1", "GDT_WINOGRAD": "fused"},
+        ),
+    ]
+
+    def timed(fn, *a):
+        jax.block_until_ready(fn(*a))  # compile + warmup
+        ts = []
+        for _ in range(opt.steps):
+            t0 = time.perf_counter()
+            jax.block_until_ready(fn(*a))
+            ts.append(time.perf_counter() - t0)
+        return _percentiles(ts)
+
+    rows = []
+    for name, dtype, env in combos:
+        saved = {k: os.environ.get(k) for k in knob_names}
+        os.environ.update(env)
+        try:
+            detect = jax.jit(
+                make_detector_fn(
+                    model, None, hmin, hmax, size, params_as_arg=True, dtype=dtype
+                ),
+                compiler_options=step_compiler_options(),
+            )
+            det = timed(detect, net_params, *args)
+
+            net = model.net if dtype is None else model.net.clone(dtype=dtype)
+
+            def _recon_impl(params, rgb):
+                rngs = {
+                    "sample": jax.random.PRNGKey(0),
+                    "dropout": jax.random.PRNGKey(1),
+                    "noise": jax.random.PRNGKey(2),
+                }
+                outs = net.apply(
+                    {"params": params}, rgb, jnp.asarray(0, jnp.int32),
+                    phase="full", rngs=rngs,
+                )
+                return outs["dec_obj"]
+
+            recon = jax.jit(_recon_impl, compiler_options=step_compiler_options())
+            rec = timed(recon, net_params, args[0])
+        except Exception as e:  # noqa: BLE001 — e.g. remote-compile outage
+            print(f"{name:24s}: FAILED ({type(e).__name__}: {e})")
+            rows.append({"combo": name, "error": str(e)})
+            continue
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    os.environ.pop(k, None)
+                else:
+                    os.environ[k] = v
+        row = {
+            "combo": name,
+            "batch": b,
+            "detector_p50_ms": det["p50_ms"],
+            "detector_patches_per_s": b / (det["p50_ms"] / 1e3),
+            "recon_p50_ms": rec["p50_ms"],
+            "recon_patches_per_s": b / (rec["p50_ms"] / 1e3),
+        }
+        rows.append(row)
+        print(
+            f"{name:24s}: detector p50 {det['p50_ms']:8.2f} ms "
+            f"({row['detector_patches_per_s']:7.1f} p/s)   "
+            f"recon p50 {rec['p50_ms']:8.2f} ms "
+            f"({row['recon_patches_per_s']:7.1f} p/s)"
+        )
+
+    import jax as _jax
+
+    print(
+        json.dumps(
+            {
+                "metric": "serving_sweep",
+                "backend": _jax.devices()[0].platform,
+                "batch": b,
+                "steps": opt.steps,
+                "rows": rows,
+            }
+        )
+    )
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("-b", "--base", nargs="+", default=None, help="config YAML(s)")
@@ -49,6 +157,13 @@ def main():
         " detector legs skip the image decoder",
     )
     p.add_argument("--seed", type=int, default=23)
+    p.add_argument(
+        "--sweep",
+        action="store_true",
+        help="compose-measure the forward-only kernel candidates (bf16,"
+        " GDT_SUBPIXEL_UP, GDT_WINOGRAD=fused) on the detector and recon legs"
+        " at the largest --batches entry; prints one table + one JSON line",
+    )
     opt, unknown = p.parse_known_args()
 
     import jax
@@ -108,6 +223,10 @@ def main():
             jnp.full((b,), float(size) / 240.0, jnp.float32),
         )
 
+    if opt.sweep:
+        _run_sweep(opt, model, net_params, hmin, hmax, size, make_args)
+        return
+
     results = []
     for b in opt.batches:
         args = make_args(b)
@@ -128,7 +247,15 @@ def main():
 
     recon_results = []
     if opt.recon:
+        from generative_detection_tpu.serving import _resolve_serve_dtype
         from generative_detection_tpu.utils.runtime import step_compiler_options
+
+        # same serving-default dtype resolution as make_detector_fn: bf16
+        # (the measured sweep winner) unless GDT_SERVE_DTYPE=float32
+        recon_dtype = _resolve_serve_dtype("auto")
+        recon_net = (
+            model.net if recon_dtype is None else model.net.clone(dtype=recon_dtype)
+        )
 
         def _recon_impl(params, rgb):
             rngs = {
@@ -136,7 +263,7 @@ def main():
                 "dropout": jax.random.PRNGKey(1),
                 "noise": jax.random.PRNGKey(2),
             }
-            outs = model.net.apply(
+            outs = recon_net.apply(
                 {"params": params}, rgb, jnp.asarray(0, jnp.int32),
                 phase="full", rngs=rngs,
             )
