@@ -124,6 +124,9 @@ def run_bench(bs: int, dtype: str, steps: int, phase: str = "full"):
         # (round-4 verdict weak #6: the 1.5 TFLOP/patch constant was a hand
         # estimate; the HLO cost analysis pins the actual arithmetic). This
         # lower+compile hits the same jit cache the timed loop uses.
+        # Caveat: cost_analysis() sees no FLOPs inside custom calls, so the
+        # Pallas flash-attention sites (~0.2 TFLOP/patch) are excluded —
+        # mfu_pct is therefore a floor; mfu_pct_est (hand total) a ceiling.
         try:
             cost = step_fn.lower(state, batch).compile().cost_analysis()
             if isinstance(cost, (list, tuple)):
