@@ -63,6 +63,13 @@ root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 cfg = load_yaml(os.path.join(root, "configs/autoencoder/pose/tiny_cpu.yaml"))
 model = instantiate_from_config(cfg["model"])
 model.learning_rate = 1e-4
+# Val length 32 (config: 8): with 2 process shards and per-process bs 8 the
+# val loader then yields FULL batches identical in shape to train batches —
+# so the mid-fit validate() hits the AOT-compiled eval program below instead
+# of triggering a fresh (minutes-long, CPU-contended) collective compile on
+# each rank independently, which can skew past Gloo's ~30s key-exchange
+# deadline and kill one rank (the failure mode this worker exists to avoid).
+cfg["data"]["params"]["validation"]["params"]["length"] = 32
 data = instantiate_from_config(cfg["data"])
 
 shared_logdir = os.path.dirname(workdir)  # one logdir => one orbax ckpt tree
@@ -81,8 +88,20 @@ trainer = Trainer(
 )
 assert jax.process_count() == nproc
 
-# ---- AOT-compile everything fit() will execute, then meet at the barrier
-# (identical programs compiled concurrently; the barrier bounds the skew) ----
+# ---- Pre-fit warm-up: compile AND execute every collective program fit()
+# will run, with the ranks barrier-aligned around the executions.
+#
+# Why execution, not just AOT compile: Gloo initializes its cross-host
+# context at the FIRST collective execution via a coordination-service
+# key exchange with a hard ~30s deadline. On this 1-CPU box in-fit
+# recompiles can skew the two ranks by minutes (the persistent compile
+# cache reloads as recompiles when the sandbox host changes), so the
+# context must be established while the ranks are barrier-synchronized —
+# the same discipline as multihost_worker.py, extended to the fit loop's
+# full program set (both train phases + the val eval step). The executions
+# below also populate the in-process jit call caches of the EXACT jit
+# objects fit() uses (fit's _build_fns rebuild is suppressed), so fit's
+# own steps dispatch without recompiling.
 trainer._build_fns()
 data.setup()
 batch = next(iter(data.train_dataloader()))
@@ -95,12 +114,36 @@ with trainer.mesh:
     prepared = model._prepare_jit()(
         shard_batch(host, trainer.mesh), meta, trainer.mesh.shape["data"]
     )
+    # compile first (slow, skew-tolerant: no collectives execute)...
     for phase in ("pretrain", "full"):
         trainer._train_fns[phase].lower(state0, prepared).compile()
+    val_batch = next(iter(data.val_dataloader()))
+    vhost, vmeta = model.prepare_batch_host(val_batch)
+    vprep = model._prepare_jit()(
+        shard_batch(vhost, trainer.mesh), vmeta, trainer.mesh.shape["data"]
+    )
     trainer._eval_fn_for("val").lower(
-        state0, prepared, jax.random.PRNGKey(0)
+        state0, vprep, jax.random.PRNGKey(0)
     ).compile()
-_barrier("gdt_mhfit_compiled")
+    _barrier("gdt_mhfit_compiled")
+    # ...then execute once per program, ranks aligned: gloo contexts form
+    # here. The train steps donate arg 0, so feed throwaway state copies.
+    import jax.numpy as jnp
+
+    def _copy_state(s):
+        return jax.tree.map(lambda x: x + jnp.zeros((), x.dtype), s)
+
+    for phase in ("pretrain", "full"):
+        _s, _m = trainer._train_fns[phase](_copy_state(state0), prepared)
+        jax.block_until_ready(_m["aeloss"])
+    _em = trainer._eval_fn_for("val")(state0, vprep, jax.random.PRNGKey(0))
+    jax.block_until_ready(list(_em.values())[0])
+_barrier("gdt_mhfit_warm")
+
+# fit() rebuilds the step jits unconditionally; suppress that so it keeps
+# the warm jit objects above (the optimizers are already built and the lr
+# hasn't changed — semantics identical, minus the recompile).
+trainer._build_fns = lambda *a, **k: None
 
 trainer.fit(data)
 
